@@ -1,0 +1,155 @@
+"""Candidate-pair generation and batched Dice-coefficient scoring.
+
+Dice semantics pinned by the reference's tests
+(/root/reference/tests/test_bloomfilter.py:112-113):
+``sim(a, b) = 2 * popcount(a & b) / (popcount(a) + popcount(b))``.
+
+Scale notes:
+- Pair generation shuffles only skinny ``(block_key, key)`` rows; the
+  self-join runs on the block key with AQE skew-join enabled. Cross-band
+  duplicate pairs are removed *before* CLK bytes are attached, so each
+  candidate pair's 2x128 B payload is shuffled exactly once.
+- Dice is computed in an Arrow UDF over uint8 matrices with a popcount
+  LUT — no per-row Python. Stored popcounts are reused for the
+  denominator (no re-count of a and b).
+- For two-party linkage use ``candidate_pairs(blocks_a, blocks_b)``; for
+  dedup use the self variant which keeps ``key_a < key_b``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..core.vectorized import _POPCOUNT_LUT
+
+__all__ = ["candidate_pairs", "dice_scores", "score_candidates"]
+
+
+def candidate_pairs(
+    blocks: DataFrame,
+    other: Optional[DataFrame] = None,
+    key_col: str = "url",
+    block_col: str = "block_key",
+    repartition: Optional[int] = None,
+) -> DataFrame:
+    """Distinct candidate pairs from shared block keys.
+
+    Self-join (``other=None``): pairs ``(key_a < key_b)`` sharing ≥1 block.
+    Two-party: every cross pair sharing ≥1 block.
+    """
+    left = blocks.select(
+        F.col(block_col), F.col(key_col).alias("key_a")
+    )
+    if other is None:
+        right = blocks.select(
+            F.col(block_col), F.col(key_col).alias("key_b")
+        )
+        condition = F.col("key_a") < F.col("key_b")
+    else:
+        right = other.select(
+            F.col(block_col), F.col(key_col).alias("key_b")
+        )
+        condition = F.lit(True)
+    if repartition:
+        left = left.repartition(repartition, block_col)
+    pairs = (
+        left.join(right, on=block_col, how="inner")
+        .where(condition)
+        .select("key_a", "key_b")
+        .distinct()  # a pair may collide in several bands
+    )
+    return pairs
+
+
+def dice_scores(
+    pairs_with_clks: DataFrame,
+    clk_a: str = "clk_a",
+    clk_b: str = "clk_b",
+    pc_a: str = "popcount_a",
+    pc_b: str = "popcount_b",
+    score_col: str = "score",
+) -> DataFrame:
+    """Attach a Dice-coefficient column, batched via Arrow."""
+
+    @F.pandas_udf(DoubleType())
+    def dice(a: pd.Series, b: pd.Series, pa: pd.Series, pb: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=float)
+        mat_a = np.frombuffer(b"".join(a), dtype=np.uint8).reshape(len(a), -1)
+        mat_b = np.frombuffer(b"".join(b), dtype=np.uint8).reshape(len(b), -1)
+        inter = _POPCOUNT_LUT[mat_a & mat_b].sum(axis=1, dtype=np.int64)
+        denom = (pa.to_numpy() + pb.to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom > 0, 2.0 * inter / denom, 0.0)
+        return pd.Series(out)
+
+    return pairs_with_clks.withColumn(
+        score_col, dice(F.col(clk_a), F.col(clk_b), F.col(pc_a), F.col(pc_b))
+    )
+
+
+def score_candidates(
+    pairs: DataFrame,
+    clks: DataFrame,
+    threshold: float,
+    other_clks: Optional[DataFrame] = None,
+    key_col: str = "url",
+    clk_col: str = "clk",
+    popcount_col: str = "popcount",
+    score_col: str = "score",
+) -> DataFrame:
+    """Join CLK payloads onto candidate pairs and keep Dice ≥ threshold.
+
+    ``clks`` serves ``key_a``; ``other_clks`` (defaults to ``clks``)
+    serves ``key_b``.
+    """
+    if other_clks is None:
+        other_clks = clks
+    payload_a = clks.select(
+        F.col(key_col).alias("key_a"),
+        F.col(clk_col).alias("clk_a"),
+        F.col(popcount_col).alias("popcount_a"),
+    )
+    payload_b = other_clks.select(
+        F.col(key_col).alias("key_b"),
+        F.col(clk_col).alias("clk_b"),
+        F.col(popcount_col).alias("popcount_b"),
+    )
+    joined = pairs.join(payload_a, on="key_a").join(payload_b, on="key_b")
+    scored = dice_scores(joined, score_col=score_col)
+    return scored.where(F.col(score_col) >= threshold).select(
+        "key_a", "key_b", score_col
+    )
+
+
+def one_to_one_matching(
+    scored_pairs: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """Greedy-style 1-1 matching via mutual best match.
+
+    The reference tutorial uses anonlink's ``greedy_solve``
+    (docs/tutorial_api.ipynb cell 26); a distributed equivalent of the
+    strict greedy order is inherently sequential, so we use the standard
+    mutual-best relaxation: keep a pair iff it is the highest-scoring pair
+    for *both* endpoints (ties broken by the other key for determinism).
+    """
+    from pyspark.sql import Window
+
+    w_a = Window.partitionBy("key_a").orderBy(
+        F.desc(score_col), F.asc("key_b")
+    )
+    w_b = Window.partitionBy("key_b").orderBy(
+        F.desc(score_col), F.asc("key_a")
+    )
+    return (
+        scored_pairs.withColumn("_rank_a", F.row_number().over(w_a))
+        .withColumn("_rank_b", F.row_number().over(w_b))
+        .where((F.col("_rank_a") == 1) & (F.col("_rank_b") == 1))
+        .drop("_rank_a", "_rank_b")
+    )

@@ -1,0 +1,166 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All expressed with built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs in any hot path — and each has an
+exact ANSI-SQL equivalent so DuckDB can oracle-check results row-for-row.
+
+Operators: whitespace + regex token counting, quality scoring
+(length/punct/digit/stopword ratios), marker-word language ID, and
+document fingerprinting (normalized-text digest + shingle fingerprint).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "STOPWORDS",
+    "LANG_MARKERS",
+    "token_counts",
+    "quality_scores",
+    "language_id",
+    "fingerprints",
+]
+
+# Small fixed stopword list (quality signal, not linguistics).
+STOPWORDS = (
+    "the a an of to in and is are was were for on with as at by from or",
+).__getitem__(0).split()
+
+# Marker words per language for the heuristic language-ID vote. Tiny and
+# deterministic by construction so the SQL oracle can mirror it verbatim.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "des"),
+}
+
+
+def _words(text: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + regex word-ish tokens (BPE-style pieces).
+
+    ``n_tokens_ws``: whitespace-separated tokens.
+    ``n_tokens_re``: runs of letters, runs of digits, or single other
+    non-space chars — a cheap proxy for BPE pre-tokenization.
+    """
+    text = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(_words(text)).alias("n_tokens_ws").cast("int").alias("n_tokens_ws"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+            )
+        ).cast("int").alias("n_tokens_re"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features per document.
+
+    All ratios are rounded to 6 decimals so engines hash identically.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    n_stop = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(list(STOPWORDS)))
+    )
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    mean_word_len = F.when(
+        n_words > 0,
+        F.round(
+            (F.length(F.regexp_replace(text, r"\s+", ""))).cast("double")
+            / n_words,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars_measured"),
+        n_words.cast("int").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        F.round(
+            F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0), 6
+        ).alias("digit_ratio"),
+        F.round(
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0), 6
+        ).alias("punct_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language, take the
+    argmax (ties broken by language code order); no hits → 'und'."""
+    words = _words(F.col(text_col))
+    counts = {
+        lang: F.size(
+            F.filter(words, lambda w, m=markers: F.lower(w).isin(list(m)))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax with deterministic tie-break on language code.
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        score = counts[lang]
+        entry = F.struct(
+            score.alias("hits"),
+            F.lit({"en": 3, "de": 2, "es": 1, "fr": 0}[lang]).alias("_anti"),
+            F.lit(lang).alias("lang"),
+        )
+        best = entry if best is None else F.greatest(best, entry)
+    predicted = F.when(
+        best["hits"] > 0, best["lang"]
+    ).otherwise(F.lit("und"))
+    return df.select(
+        "doc_id",
+        predicted.alias("lang_pred"),
+        best["hits"].cast("int").alias("marker_hits"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", shingle_size: int = 5
+) -> DataFrame:
+    """Document fingerprints for dedup bookkeeping.
+
+    ``md5_fp``: digest of whitespace-normalized lowercase text (exact-dup
+    key tolerant to whitespace differences).
+    ``shingle_fp``: digest of the lexicographically-smallest
+    ``shingle_size``-word shingle — a cheap 1-permutation MinHash that two
+    near-identical docs usually share.
+    """
+    text = F.col(text_col)
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    words = _words(text)
+    n = F.size(words)
+    shingles = F.when(
+        n >= shingle_size,
+        F.transform(
+            F.sequence(F.lit(1), n - shingle_size + 1),
+            lambda i: F.array_join(
+                F.slice(words, i, shingle_size), " "
+            ),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    return df.select(
+        "doc_id",
+        F.md5(normalized).alias("md5_fp"),
+        F.md5(F.array_min(shingles)).alias("shingle_fp"),
+    )

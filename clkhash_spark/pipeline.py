@@ -1,0 +1,267 @@
+"""End-to-end CLK linkage pipeline: encode → block → score → cluster.
+
+Composes the operators with checkpointed stages and throughput counters.
+Stage tables are plain parquet directories with a JSON manifest
+(`_clkhash_manifest.json`) — the sandbox stand-in for Iceberg snapshot
+tables; on a real cluster swap :class:`StageStore` for Iceberg
+``writeTo``/snapshots without touching the operator code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core.schema import Schema
+from .operators.blocking import block_keys, block_size_histogram, cap_block_size
+from .operators.cluster import attach_cluster_ids, connected_components
+from .operators.encode import encode_clks
+from .operators.scoring import candidate_pairs, score_candidates
+
+__all__ = ["LinkageConfig", "LinkageResult", "StageStore", "run_linkage",
+           "WEBPAGES_SCHEMA_DICT", "webpages_schema"]
+
+
+# Default linkage schema for the north-rule web-pages table: the page text
+# as 4-grams under doubleHash (1024-bit CLK). 4-grams ≈ word-piece level —
+# measured on the synthetic fixture, unrelated-page Dice tops out ~0.50
+# while near-duplicates stay ≥0.83, so thresholds in [0.6, 0.8] separate
+# cleanly (2-grams of web text share too small a universe: unrelated Dice
+# reaches 0.88). bitsPerFeature keeps popcount roughly length-independent,
+# which stabilizes Dice across page sizes.
+WEBPAGES_SCHEMA_DICT: Dict[str, Any] = {
+    "version": 3,
+    "clkConfig": {
+        "l": 1024,
+        "kdf": {"type": "HKDF", "hash": "SHA256", "keySize": 64},
+    },
+    "features": [
+        {
+            "identifier": "text",
+            "format": {"type": "string", "encoding": "utf-8"},
+            "hashing": {
+                "comparison": {"type": "ngram", "n": 4},
+                "strategy": {"bitsPerFeature": 400},
+                "hash": {"type": "doubleHash"},
+            },
+        }
+    ],
+}
+
+
+def webpages_schema() -> Schema:
+    from .core.schema import from_json_dict
+
+    return from_json_dict(WEBPAGES_SCHEMA_DICT)
+
+
+@dataclass
+class LinkageConfig:
+    schema: Schema
+    secret: Union[str, bytes]
+    key_col: str = "url"
+    feature_cols: Optional[Sequence[str]] = None
+    # Dice ≥ 0.75 keeps near-dups (≥0.83 on fixtures) and rejects unrelated
+    # pages (≤0.50 at 4-gram encoding).
+    threshold: float = 0.75
+    # 64 bands x 16 bits: near-dup per-bit agreement ~0.90 → band match
+    # p=0.9^16≈0.19 → P(≥1 of 64)≈0.9999; unrelated agreement ~0.64 →
+    # ~5% band-collision handled by scoring threshold + block-size cap.
+    num_bands: int = 64
+    bits_per_band: int = 16
+    lsh_seed: int = 42
+    lsh_salt: int = 0
+    max_block_size: Optional[int] = 2000
+    block_cap_mode: str = "split"
+    validate: bool = False
+    pair_partitions: Optional[int] = None
+    checkpoint_dir: Optional[str] = None
+    resume: bool = True
+
+
+@dataclass
+class LinkageResult:
+    clks: DataFrame
+    blocks: DataFrame
+    pairs: DataFrame
+    clusters: DataFrame
+    metrics: Dict[str, Any] = field(default_factory=dict)
+
+
+class StageStore:
+    """Parquet-with-manifest stage checkpointing (Iceberg stand-in).
+
+    Each stage writes to ``<root>/<stage>/`` and records a manifest entry
+    (row count, wall time, config fingerprint). A completed stage is
+    *resumed* — read back instead of recomputed — when the fingerprint
+    matches, which is what makes a killed job cheap to restart.
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.manifest_path = os.path.join(root, "_clkhash_manifest.json")
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as fp:
+                self.manifest = json.load(fp)
+        else:
+            self.manifest = {"stages": {}}
+
+    def _save_manifest(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fp:
+            json.dump(self.manifest, fp, indent=2)
+        os.replace(tmp, self.manifest_path)
+
+    def has(self, stage: str, fingerprint: str) -> bool:
+        entry = self.manifest["stages"].get(stage)
+        return bool(entry and entry.get("fingerprint") == fingerprint
+                    and entry.get("complete"))
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, stage))
+
+    def write(
+        self, stage: str, df: DataFrame, fingerprint: str
+    ) -> DataFrame:
+        path = os.path.join(self.root, stage)
+        start = time.time()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        rows = out.count()
+        elapsed = time.time() - start
+        self.manifest["stages"][stage] = {
+            "fingerprint": fingerprint,
+            "rows": rows,
+            "seconds": round(elapsed, 3),
+            "rows_per_sec": round(rows / elapsed, 1) if elapsed > 0 else None,
+            "complete": True,
+        }
+        self._save_manifest()
+        return out
+
+
+def _fingerprint(config: LinkageConfig, stage: str) -> str:
+    import hashlib
+
+    relevant = {
+        "stage": stage,
+        "l": config.schema.l,
+        "xor_folds": config.schema.xor_folds,
+        "fields": [f.identifier for f in config.schema.fields],
+        "threshold": config.threshold,
+        "num_bands": config.num_bands,
+        "bits_per_band": config.bits_per_band,
+        "lsh_seed": config.lsh_seed,
+        "lsh_salt": config.lsh_salt,
+        "max_block_size": config.max_block_size,
+        "cap_mode": config.block_cap_mode,
+    }
+    return hashlib.sha256(
+        json.dumps(relevant, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def run_linkage(
+    spark: SparkSession,
+    pages: DataFrame,
+    config: LinkageConfig,
+) -> LinkageResult:
+    """Run the full dedup-linkage pipeline over one table.
+
+    Stages (each checkpointed when ``config.checkpoint_dir`` is set):
+    ``clks`` → ``blocks`` → ``pairs`` → ``clusters``.
+    """
+    store = (
+        StageStore(spark, config.checkpoint_dir)
+        if config.checkpoint_dir
+        else None
+    )
+    metrics: Dict[str, Any] = {}
+
+    def stage(name: str, build):
+        fp = _fingerprint(config, name)
+        if store is not None and config.resume and store.has(name, fp):
+            metrics[f"{name}_resumed"] = True
+            return store.read(name)
+        start = time.time()
+        df = build()
+        if store is not None:
+            df = store.write(name, df, fp)
+            entry = store.manifest["stages"][name]
+            metrics[f"{name}_rows"] = entry["rows"]
+            metrics[f"{name}_seconds"] = entry["seconds"]
+            metrics[f"{name}_rows_per_sec"] = entry["rows_per_sec"]
+        else:
+            metrics[f"{name}_seconds"] = round(time.time() - start, 3)
+        return df
+
+    clks = stage(
+        "clks",
+        lambda: encode_clks(
+            pages,
+            config.schema,
+            config.secret,
+            key_cols=(config.key_col,),
+            feature_cols=config.feature_cols,
+            validate=config.validate,
+        ),
+    )
+
+    def build_blocks() -> DataFrame:
+        blocks = block_keys(
+            clks,
+            l=config.schema.l,
+            num_bands=config.num_bands,
+            bits_per_band=config.bits_per_band,
+            seed=config.lsh_seed,
+            salt=config.lsh_salt,
+            key_cols=(config.key_col,),
+        )
+        if config.max_block_size:
+            blocks, accounting = cap_block_size(
+                blocks,
+                config.max_block_size,
+                mode=config.block_cap_mode,
+                key_cols=(config.key_col,),
+            )
+            metrics["block_cap_accounting"] = (
+                accounting.first().asDict()
+            )
+        return blocks
+
+    blocks = stage("blocks", build_blocks)
+
+    pairs = stage(
+        "pairs",
+        lambda: score_candidates(
+            candidate_pairs(
+                blocks,
+                key_col=config.key_col,
+                repartition=config.pair_partitions,
+            ),
+            clks,
+            threshold=config.threshold,
+            key_col=config.key_col,
+        ),
+    )
+
+    def build_clusters() -> DataFrame:
+        components = connected_components(pairs)
+        return attach_cluster_ids(
+            clks.select(config.key_col), components, key_col=config.key_col
+        )
+
+    clusters = stage("clusters", build_clusters)
+
+    return LinkageResult(
+        clks=clks, blocks=blocks, pairs=pairs, clusters=clusters,
+        metrics=metrics,
+    )
