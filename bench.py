@@ -1,0 +1,143 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds
+plus throughput counters (CLKs/sec, pairs/sec).
+
+Run: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PIPELINE_ROWS = int(os.environ.get("SPARK_GRAFT_PIPELINE_ROWS", "100000"))
+
+
+def force(df) -> int:
+    """Materialize a DataFrame fully (noop sink keeps executors busy,
+    avoids driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from clkhash_spark.entry_queries import (
+        q_doc_exact_dedup,
+        q_doc_minhash_pairs,
+        q_doc_quality_scores,
+        q_emb_topk,
+    )
+    from clkhash_spark.operators.encode import encode_clks
+    from clkhash_spark.operators.evaluate import (
+        cluster_pairs,
+        pairwise_metrics,
+        truth_pairs,
+    )
+    from clkhash_spark.pipeline import (
+        LinkageConfig,
+        run_linkage,
+        webpages_schema,
+    )
+    from clkhash_spark.session import build_session
+    from clkhash_spark.sources.webpages import (
+        synthetic_webpages,
+        webpages_truth,
+    )
+
+    spark = build_session(app_name="clkhash-spark-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        start = time.time()
+        out = fn()
+        timings[name] = round(time.time() - start, 3)
+        return out
+
+    # q1: CLK encode over the documents table (CLKs/sec headline).
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs_count = docs.count()
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    timed(
+        "clk_encode",
+        lambda: force(
+            encode_clks(pages, webpages_schema(), "bench-secret",
+                        key_cols=("url",))
+        ),
+    )
+    extras["clks_per_sec"] = round(docs_count / timings["clk_encode"], 1)
+    extras["encode_rows"] = docs_count
+
+    # q2: full linkage pipeline on the synthetic web-pages fixture.
+    fixture = synthetic_webpages(spark, PIPELINE_ROWS, seed=42)
+    fixture = fixture.persist()
+    fixture.count()
+    config = LinkageConfig(schema=webpages_schema(), secret="bench-secret")
+
+    def run_pipeline():
+        result = run_linkage(spark, fixture.select("url", "text"), config)
+        result.pairs.persist()
+        n_pairs = result.pairs.count()
+        result.clusters.persist()
+        result.clusters.count()
+        extras["pipeline_pairs"] = n_pairs
+        return result
+
+    result = timed("clk_pipeline", run_pipeline)
+    extras["pipeline_rows"] = PIPELINE_ROWS
+    extras["pipeline_rows_per_sec"] = round(
+        PIPELINE_ROWS / timings["clk_pipeline"], 1
+    )
+    extras["pairs_per_sec"] = round(
+        extras["pipeline_pairs"] / timings["clk_pipeline"], 1
+    )
+
+    # quality check rides along (not timed separately).
+    metrics = pairwise_metrics(
+        cluster_pairs(result.clusters, key_col="url"),
+        truth_pairs(webpages_truth(fixture)),
+    )
+    extras["pipeline_f1"] = round(metrics["f1"], 6)
+
+    # q3-q6: dedup / text / similarity operators at sf.
+    timed("doc_exact_dedup", lambda: force(q_doc_exact_dedup(spark, SF_DIR)))
+    timed(
+        "doc_minhash_pairs",
+        lambda: force(q_doc_minhash_pairs(spark, SF_DIR)),
+    )
+    timed(
+        "doc_quality_scores",
+        lambda: force(q_doc_quality_scores(spark, SF_DIR)),
+    )
+    timed("emb_topk", lambda: force(q_emb_topk(spark, SF_DIR)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

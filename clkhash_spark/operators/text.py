@@ -109,10 +109,13 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count marker-word hits per language, take the
     argmax (ties broken by language code order); no hits → 'und'."""
     words = _words(F.col(text_col))
+
+    def marker_count(markers):
+        wanted = list(markers)
+        return F.size(F.filter(words, lambda w: F.lower(w).isin(wanted)))
+
     counts = {
-        lang: F.size(
-            F.filter(words, lambda w, m=markers: F.lower(w).isin(list(m)))
-        )
+        lang: marker_count(markers)
         for lang, markers in LANG_MARKERS.items()
     }
     # argmax with deterministic tie-break on language code.
