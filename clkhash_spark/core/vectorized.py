@@ -165,6 +165,158 @@ class FieldEncoder:
         else:
             raise ValueError(f"unsupported hash type {hs.hash_type!r}")
 
+    def _generic_flatten(self, uniques: np.ndarray, hs):
+        """Tokenize each unique value in Python (exact/numeric paths)."""
+        encoding = hs.encoding
+        tokenize = hs.tokenizer.tokenize
+        format_value = self.field.format_value
+        strategy = hs.strategy
+
+        flat_tokens: List[bytes] = []
+        flat_ks: List[np.ndarray] = []
+        owner_ids: List[int] = []       # unique-value index per token group
+        group_starts: List[int] = []    # first flat index of each group
+        for u_idx in range(len(uniques)):
+            tokens = tokenize(format_value(str(uniques[u_idx])))
+            if not tokens:
+                continue
+            group_starts.append(len(flat_tokens))
+            owner_ids.append(u_idx)
+            flat_tokens.extend(t.encode(encoding) for t in tokens)
+            flat_ks.append(strategy.bits_per_token_array(len(tokens)))
+        if not flat_tokens:
+            return None
+        token_codes, token_uniques = pd.factorize(
+            pd.Series(flat_tokens, dtype=object)  # bytes: NUL-safe table
+        )
+        return (
+            token_codes.astype(np.int64),
+            list(token_uniques),
+            np.concatenate(flat_ks),
+            np.asarray(owner_ids, dtype=np.int64),
+            np.asarray(group_starts, dtype=np.int64),
+        )
+
+    def _ngram_flatten(self, uniques: np.ndarray, hs):
+        """Vectorized n-gram tokenization of all unique values at once.
+
+        Builds one UTF-32 buffer of the padded values, takes numpy sliding
+        windows, and deduplicates windows (+ position for positional
+        n-grams) BEFORE any Python string is created — only distinct
+        tokens are ever materialized/encoded. ~5-10x faster than the
+        per-token Python loop for text-heavy fields.
+        """
+        n = hs.tokenizer.n
+        positional = hs.tokenizer.positional
+        encoding = hs.encoding
+        format_value = self.field.format_value
+        strategy = hs.strategy
+        pad = " " * (n - 1) if n > 1 else ""
+
+        pieces: List[str] = []
+        counts: List[int] = []
+        owner_ids: List[int] = []
+        for u_idx in range(len(uniques)):
+            formatted = format_value(str(uniques[u_idx]))
+            if not formatted:
+                continue
+            piece = pad + formatted + pad
+            pieces.append(piece)
+            counts.append(len(piece) - n + 1)
+            owner_ids.append(u_idx)
+        if not pieces:
+            return None
+
+        counts_arr = np.asarray(counts, dtype=np.int64)
+        lengths = counts_arr + (n - 1)
+        piece_offsets = np.concatenate(
+            ([0], np.cumsum(lengths)[:-1])
+        )
+        buf = np.frombuffer(
+            "".join(pieces).encode("utf-32-le"), dtype=np.uint32
+        )
+        total = int(counts_arr.sum())
+        group_starts = np.concatenate(([0], np.cumsum(counts_arr)[:-1]))
+        # Window start index of every token: per-piece ramp + offset.
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(
+            group_starts, counts_arr
+        )
+        starts = np.repeat(piece_offsets, counts_arr) + ramp
+        # Dedup windows without materializing per-token arrays when the
+        # text is 8-bit (ASCII/Latin-1 — the overwhelming web-text case)
+        # and the whole window fits one int64: pack chars (and position)
+        # into a single key, factorize once. Fallback: iterated int64
+        # factorize over window columns — exact because
+        # codes * 2^32 + column < 2^54 for any realistic batch.
+        max_char = int(buf.max()) if buf.size else 0
+        pos_bits = int(counts_arr.max()).bit_length() + 1 if positional else 0
+        if max_char < 256 and 8 * n + pos_bits <= 63:
+            wide_buf = buf.astype(np.int64)
+            packed = np.zeros(len(buf) - n + 1, dtype=np.int64)
+            for j in range(n):
+                packed |= wide_buf[j:len(wide_buf) - n + 1 + j] << (8 * j)
+            keys = packed[starts]
+            if positional:
+                keys = keys | ((ramp + 1) << (8 * n))
+            token_codes, _ = pd.factorize(keys)
+        else:
+            windows = np.lib.stride_tricks.sliding_window_view(buf, n)[
+                starts
+            ]
+            flat = np.ascontiguousarray(windows)
+            # Token identity = (position,) + chars for positional grams.
+            token_codes = (
+                pd.factorize((ramp + 1))[0].astype(np.int64)
+                if positional
+                else None
+            )
+            for col in range(flat.shape[1]):
+                col_arr = flat[:, col].astype(np.int64)
+                if token_codes is None:
+                    token_codes, _ = pd.factorize(col_arr)
+                else:
+                    token_codes, _ = pd.factorize(
+                        token_codes.astype(np.int64) * (1 << 32) + col_arr
+                    )
+        num_tokens = int(token_codes.max()) + 1
+        # First occurrence per code: factorize assigns codes in first-
+        # appearance order, so a reversed fancy write leaves the earliest
+        # index as the survivor.
+        first_occ = np.empty(num_tokens, dtype=np.int64)
+        first_occ[token_codes[::-1]] = np.arange(
+            len(token_codes) - 1, -1, -1, dtype=np.int64
+        )
+        token_uniques: List[bytes] = []
+        for t in first_occ:
+            start = int(starts[t])
+            chars = buf[start:start + n].tobytes().decode("utf-32-le")
+            if positional:
+                text = f"{int(ramp[t]) + 1} {chars}"
+            else:
+                text = chars
+            token_uniques.append(text.encode(encoding))
+
+        # ks per token: BitsPerToken is constant; BitsPerFeature depends
+        # on each value's token count (first residue tokens get k+1).
+        from .strategies import BitsPerToken
+
+        if isinstance(strategy, BitsPerToken):
+            ks_arr = np.full(total, strategy.k, dtype=np.int64)
+        else:
+            ks_arr = np.concatenate(
+                [
+                    strategy.bits_per_token_array(int(c))
+                    for c in counts_arr
+                ]
+            )
+        return (
+            token_codes.astype(np.int64),
+            token_uniques,
+            ks_arr,
+            np.asarray(owner_ids, dtype=np.int64),
+            group_starts,
+        )
+
     def _pair_masks(
         self, pair_tokens: List[bytes], pair_ks: np.ndarray
     ) -> np.ndarray:
@@ -199,65 +351,120 @@ class FieldEncoder:
         hs = self.field.hash_spec
         if hs is None:
             return
-        codes, uniques = pd.factorize(values)
-        encoding = hs.encoding
-        tokenize = hs.tokenizer.tokenize
-        format_value = self.field.format_value
-        strategy = hs.strategy
+        # np.unique, NOT pd.factorize: pandas' StringHashTable hashes
+        # C-strings and silently collapses values containing NUL bytes
+        # ('' and '\x00' become one unique — found by hypothesis).
+        # Nulls are treated as '' (so missing-value sentinels apply).
+        arr = values.fillna("").to_numpy(dtype=object)
+        uniques, codes = np.unique(arr, return_inverse=True)
 
-        # Tokenize each unique value once; flatten value-contiguously.
-        flat_tokens: List[bytes] = []
-        flat_ks: List[np.ndarray] = []
-        owner_ids: List[int] = []       # unique-value index per token group
-        group_starts: List[int] = []    # first flat index of each group
-        for u_idx in range(len(uniques)):
-            raw = uniques[u_idx]
-            text = "" if raw is None else str(raw)
-            tokens = tokenize(format_value(text))
-            if not tokens:
-                continue
-            group_starts.append(len(flat_tokens))
-            owner_ids.append(u_idx)
-            flat_tokens.extend(t.encode(encoding) for t in tokens)
-            flat_ks.append(strategy.bits_per_token_array(len(tokens)))
-        if not flat_tokens:
+        from .comparators import NgramTokenizer
+
+        if isinstance(hs.tokenizer, NgramTokenizer):
+            flattened = self._ngram_flatten(uniques, hs)
+        else:
+            flattened = self._generic_flatten(uniques, hs)
+        if flattened is None:
             return
-        ks_arr = np.concatenate(flat_ks)
+        token_codes, token_uniques, ks_arr, owner_ids, group_starts = (
+            flattened
+        )
 
         # Deduplicate (token, k) pairs across the batch: the bit mask of a
-        # token depends only on the token and its k.
-        token_codes, token_uniques = pd.factorize(
-            pd.Series(flat_tokens, dtype=object)
+        # token depends only on the token and its k. Hash-based factorize
+        # (no sort); reversed fancy write recovers first occurrences.
+        pair_key = token_codes * (int(ks_arr.max()) + 1) + ks_arr
+        pair_inverse, _ = pd.factorize(pair_key)
+        num_pairs = int(pair_inverse.max()) + 1
+        first_flat = np.empty(num_pairs, dtype=np.int64)
+        first_flat[pair_inverse[::-1]] = np.arange(
+            len(pair_inverse) - 1, -1, -1, dtype=np.int64
         )
-        pair_key = token_codes.astype(np.int64) * (ks_arr.max() + 1) + ks_arr
-        pair_uniq, pair_inverse = np.unique(pair_key, return_inverse=True)
-        first_flat = np.full(len(pair_uniq), -1, dtype=np.int64)
-        # first occurrence of each unique pair
-        seen_order = np.argsort(pair_inverse, kind="stable")
-        boundaries = np.searchsorted(
-            pair_inverse[seen_order], np.arange(len(pair_uniq))
-        )
-        first_flat = seen_order[boundaries]
-        pair_tokens = [flat_tokens[i] for i in first_flat]
+        pair_tokens = [token_uniques[token_codes[i]] for i in first_flat]
         pair_ks = ks_arr[first_flat]
 
-        pair_masks = self._pair_masks(pair_tokens, pair_ks)
+        avg_k = float(ks_arr.mean())
+        if avg_k <= 8.0:
+            # Low-k path (typical for bitsPerFeature over long text:
+            # k per token is 1-2): scatter individual bit indices into a
+            # per-unique-value bool matrix. Memory traffic is
+            # O(sum(k) + U*l/8) — an order of magnitude below the mask
+            # path's O(tokens * l/8), which saturates DRAM bandwidth when
+            # 32 workers run side by side.
+            u_bits = self._scatter_bits(
+                pair_tokens, pair_ks, pair_inverse, group_starts,
+                owner_ids, len(uniques),
+            )
+            u_masks = np.packbits(u_bits, axis=1)
+            wide = (self.hash_l >> 3) % 8 == 0
+        else:
+            # High-k path (e.g. bitsPerToken=30 PII fields): one packed
+            # mask per distinct (token, k) pair amortizes k bit-sets into
+            # l/64 word ops; combine per value with reduceat.
+            pair_masks = self._pair_masks(pair_tokens, pair_ks)
+            width_bytes = self.hash_l >> 3
+            wide = width_bytes % 8 == 0
+            if wide:
+                pair_masks = pair_masks.view(np.uint64)
+            flat_masks = pair_masks[pair_inverse]
+            value_masks = np.bitwise_or.reduceat(
+                flat_masks, np.asarray(group_starts, dtype=np.int64),
+                axis=0,
+            )
+            u_masks = np.zeros(
+                (len(uniques), value_masks.shape[1]),
+                dtype=value_masks.dtype,
+            )
+            u_masks[np.asarray(owner_ids, dtype=np.int64)] = value_masks
 
-        # Per-unique-value mask: OR the masks of its tokens (contiguous
-        # groups → reduceat).
-        flat_masks = pair_masks[pair_inverse]
-        value_masks = np.bitwise_or.reduceat(
-            flat_masks, np.asarray(group_starts, dtype=np.int64), axis=0
+        if wide and u_masks.dtype == np.uint8:
+            u_masks = u_masks.view(np.uint64)
+        acc_view = acc.view(np.uint64) if wide else acc
+        acc_view |= u_masks[codes]
+
+    def _scatter_bits(
+        self,
+        pair_tokens: List[bytes],
+        pair_ks: np.ndarray,
+        pair_inverse: np.ndarray,
+        group_starts: np.ndarray,
+        owner_ids: np.ndarray,
+        num_uniques: int,
+    ) -> np.ndarray:
+        """Bool bit matrix [num_uniques, hash_l] via direct index scatter."""
+        l = self.hash_l
+        max_k = int(pair_ks.max())
+        num_pairs = len(pair_tokens)
+        # Padded per-pair bit-index table [P, max_k].
+        padded = np.zeros((num_pairs, max_k), dtype=np.int64)
+        if self.double_hasher is not None:
+            sha1_mods, md5_mods = self.double_hasher.hash_tokens(pair_tokens)
+            ramp = np.arange(max_k, dtype=np.int64)
+            padded = (sha1_mods[:, None] + ramp[None, :] * md5_mods[:, None]) % l
+        else:
+            assert self.blake_hasher is not None
+            shorts_for = self.blake_hasher.shorts_for
+            for p, (tb, k) in enumerate(zip(pair_tokens, pair_ks)):
+                k = int(k)
+                padded[p, :k] = shorts_for(tb, k)[:k] % l
+        valid = np.arange(max_k, dtype=np.int64)[None, :] < pair_ks[:, None]
+
+        # Owner (unique-value slot) of every flat token.
+        total = len(pair_inverse)
+        group_sizes = np.diff(np.append(group_starts, total))
+        owner_per_token = np.repeat(
+            np.asarray(owner_ids, dtype=np.int64), group_sizes
         )
 
-        # Scatter to unique-value slots, then gather per row.
-        u_masks = np.zeros((len(uniques), self.hash_l >> 3), dtype=np.uint8)
-        u_masks[np.asarray(owner_ids, dtype=np.int64)] = value_masks
-        valid = codes >= 0  # factorize gives -1 for nulls
-        if valid.all():
-            acc |= u_masks[codes]
-        else:
-            acc[valid] |= u_masks[codes[valid]]
+        flat_bits = padded[pair_inverse]          # [T, max_k]
+        flat_valid = valid[pair_inverse]          # [T, max_k]
+        rows = np.broadcast_to(
+            owner_per_token[:, None], flat_bits.shape
+        )[flat_valid]
+        bits = flat_bits[flat_valid]
+        u_bits = np.zeros((num_uniques, l), dtype=bool)
+        u_bits[rows, bits] = True
+        return u_bits
 
 
 class BatchEncoder:
@@ -296,7 +503,14 @@ class BatchEncoder:
             encoder.set_bits(series, acc)
         for _ in range(self.schema.xor_folds):
             half = acc.shape[1] >> 1
-            acc = acc[:, :half] ^ acc[:, half:]
+            if half % 8 == 0:  # fold in uint64 lanes when byte-aligned
+                wide = acc.view(np.uint64)
+                wide_half = wide.shape[1] >> 1
+                acc = (wide[:, :wide_half] ^ wide[:, wide_half:]).view(
+                    np.uint8
+                )
+            else:
+                acc = acc[:, :half] ^ acc[:, half:]
         popcounts = popcount_bytes(acc)
         return acc, popcounts
 

@@ -150,7 +150,22 @@ def cap_block_size(
     """
     if mode not in ("drop", "split"):
         raise ValueError(f"unknown cap mode {mode!r}")
+    spark = blocks.sparkSession
     sizes = blocks.groupBy(block_col).agg(F.count("*").alias("_block_size"))
+    # Cheap pre-check: when no block exceeds the cap (the common case for
+    # healthy band widths), skip the size join-back entirely — one small
+    # aggregate instead of a full re-shuffle of the block table.
+    max_size_row = sizes.agg(
+        F.max("_block_size").alias("max_size")
+    ).first()
+    max_size = max_size_row["max_size"] or 0
+    if max_size <= max_block_size:
+        accounting = spark.createDataFrame(
+            [(0, 0, 0.0)],
+            ["oversized_blocks", "rows_in_oversized",
+             "pair_volume_affected"],
+        )
+        return blocks, accounting
     annotated = blocks.join(sizes, on=block_col, how="left")
     oversized = annotated.where(F.col("_block_size") > max_block_size)
 

