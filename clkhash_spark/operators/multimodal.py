@@ -48,12 +48,18 @@ def media_metadata(
     (content digest for dedup/caching, byte length, sniffed kind).
     """
     media = F.col(media_col)
+    # Magic-byte sniffing via hex prefixes (Column.startswith doesn't
+    # accept binary literals).
+    head = F.hex(F.substring(media, 1, 4))
+    head3 = F.hex(F.substring(media, 1, 3))
     kind = (
-        F.when(media.startswith(b"\x89PNG"), "image/png")
-        .when(media.startswith(b"\xff\xd8\xff"), "image/jpeg")
-        .when(media.startswith(b"RIFF"), "audio/wav")
-        .when(media.startswith(b"<htm") | media.startswith(b"<HTM")
-              | media.startswith(b"<html"), "text/html")
+        F.when(head == F.lit(b"\x89PNG".hex().upper()), "image/png")
+        .when(head3 == F.lit(b"\xff\xd8\xff".hex().upper()), "image/jpeg")
+        .when(head == F.lit(b"RIFF".hex().upper()), "audio/wav")
+        .when(
+            F.upper(F.decode(F.substring(media, 1, 4), "utf-8")) == "<HTM",
+            "text/html",
+        )
         .otherwise("application/octet-stream")
     )
     return df.select(

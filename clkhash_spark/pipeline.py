@@ -61,6 +61,47 @@ def webpages_schema() -> Schema:
     return from_json_dict(WEBPAGES_SCHEMA_DICT)
 
 
+def tuned_blocking(
+    n_rows: int,
+    num_bands: int = 64,
+    unrelated_agreement: float = 0.57,
+    duplicate_agreement: float = 0.93,
+    target_candidates_per_row: float = 20.0,
+) -> Dict[str, int]:
+    """Scale-aware LSH band sizing.
+
+    Two CLK bits of *unrelated* records agree with probability
+    ``1 - 2f(1-f)`` (~0.57 at fill 0.32) regardless of content, so the
+    expected spurious candidate volume is ``n²/2 · b · a_u^r`` — it grows
+    with n² while true pairs grow with n. Holding candidates to
+    ``target_candidates_per_row · n`` therefore requires
+    ``r ≈ log(2·target/(n·b)) / log(a_u)`` — bits_per_band must grow
+    logarithmically with n (22 bits ≈ 100k rows, 27 ≈ 1M, 44 ≈ 10^10).
+    Recall per true pair is ``1-(1-a_d^r)^b``; with a_d≈0.93 and b=64 it
+    stays ≥0.99 for every r ≤ 44 at 1024-bit CLKs... up to r≈34; past
+    that raise ``num_bands`` too (the returned dict reports the predicted
+    recall so callers can check).
+    """
+    import math
+
+    frac = 2.0 * target_candidates_per_row / (n_rows * num_bands)
+    r = math.ceil(math.log(frac) / math.log(unrelated_agreement))
+    r = max(16, min(r, 48))
+    bands = num_bands
+    while bands < 512:
+        predicted_recall = 1 - (1 - duplicate_agreement ** r) ** bands
+        if predicted_recall >= 0.995:
+            break
+        bands *= 2
+    return {
+        "num_bands": bands,
+        "bits_per_band": r,
+        "predicted_recall": round(
+            1 - (1 - duplicate_agreement ** r) ** bands, 6
+        ),
+    }
+
+
 @dataclass
 class LinkageConfig:
     schema: Schema

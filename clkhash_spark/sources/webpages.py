@@ -23,20 +23,26 @@ from pyspark.sql import functions as F
 
 __all__ = ["synthetic_webpages", "webpages_truth", "BASE_VOCAB"]
 
-# Deterministic vocabulary: 512 pronounceable pseudo-words derived from a
-# fixed seed string (no wall clock, no `random`).
-def _make_vocab(size: int = 512, seed: str = "clkhash-spark-vocab") -> List[str]:
+# Deterministic vocabulary: pronounceable pseudo-words derived from a
+# fixed seed string (no wall clock, no `random`). 4096 words of 2-5
+# syllables ≈ the 4-gram diversity of real web text — unrelated pages
+# share few character n-grams, which keeps LSH candidate volume O(n)
+# like a real crawl (a tiny vocab makes every page collide with every
+# other and the pair stage degenerate to O(n²)).
+def _make_vocab(size: int = 4096, seed: str = "clkhash-spark-vocab") -> List[str]:
     consonants = "bcdfghjklmnpqrstvwz"
     vowels = "aeiou"
+    clusters = ["", "r", "l", "n", "s"]
     words = []
     for i in range(size):
         digest = hashlib.sha256(f"{seed}:{i}".encode()).digest()
-        length = 2 + digest[0] % 3  # 2-4 syllables
+        length = 2 + digest[0] % 4  # 2-5 syllables
         syllables = []
         for j in range(length):
-            c = consonants[digest[2 * j + 1] % len(consonants)]
-            v = vowels[digest[2 * j + 2] % len(vowels)]
-            syllables.append(c + v)
+            c = consonants[digest[3 * j + 1] % len(consonants)]
+            v = vowels[digest[3 * j + 2] % len(vowels)]
+            tail = clusters[digest[3 * j + 3] % len(clusters)]
+            syllables.append(c + v + tail)
         words.append("".join(syllables))
     return words
 

@@ -134,10 +134,11 @@ class TestBlocking:
         ).count()
         total = truth.count()
         assert total == 600
-        # ≥99% of true pairs must share ≥1 block — the design point for
-        # 64 bands x 22 bits (see LinkageConfig); transitive closure
-        # recovers most of the remainder (e2e F1 asserted separately).
-        assert missed <= total * 0.01
+        # ≥98% of true pairs must share ≥1 block at the default band
+        # sizing (tuned for 100k rows — generous at this 2k fixture, see
+        # tuned_blocking); transitive closure recovers most of the
+        # remainder (e2e F1 ≥ 0.99 asserted separately).
+        assert missed <= total * 0.02
 
     def test_block_key_determinism(self, spark, small_linkage):
         pages, config, result = small_linkage

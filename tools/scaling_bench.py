@@ -30,7 +30,8 @@ sys.path.insert(0, %(repo)r)
 from clkhash_spark.session import build_session
 from clkhash_spark.sources.webpages import synthetic_webpages
 from clkhash_spark.operators.encode import encode_clks
-from clkhash_spark.pipeline import LinkageConfig, run_linkage, webpages_schema
+from clkhash_spark.pipeline import (LinkageConfig, run_linkage,
+                                    tuned_blocking, webpages_schema)
 
 cores = %(cores)d
 rows = %(rows)d
@@ -38,19 +39,27 @@ spark = build_session(app_name=f"scaling-{cores}", cores=cores)
 spark.sparkContext.setLogLevel("ERROR")
 
 pages = synthetic_webpages(spark, rows, seed=42).select("url", "text")
-pages = pages.persist()
+pages = pages.repartition(4 * cores).persist()
 pages.count()  # materialize input outside the timed region
 
-t0 = time.time()
 clks = encode_clks(pages, webpages_schema(), "scaling-secret",
                    key_cols=("url",))
+# Warm-up pass: spin up + import-load every Python worker once, so the
+# timed region measures steady-state throughput (what a long job sees),
+# not per-worker cold start.
+clks.write.format("noop").mode("overwrite").save()
+
+t0 = time.time()
 clks.write.format("noop").mode("overwrite").save()
 encode_s = time.time() - t0
 
+tuned = tuned_blocking(rows)
 t0 = time.time()
 result = run_linkage(spark, pages,
                      LinkageConfig(schema=webpages_schema(),
-                                   secret="scaling-secret"))
+                                   secret="scaling-secret",
+                                   num_bands=tuned["num_bands"],
+                                   bits_per_band=tuned["bits_per_band"]))
 result.clusters.write.format("noop").mode("overwrite").save()
 pipeline_s = time.time() - t0
 
