@@ -25,6 +25,7 @@ from .operators.encode import encode_clks
 from .operators.scoring import candidate_pairs, score_candidates
 
 __all__ = ["LinkageConfig", "LinkageResult", "StageStore", "run_linkage",
+           "run_linkage_two_party", "tuned_blocking",
            "WEBPAGES_SCHEMA_DICT", "webpages_schema"]
 
 
@@ -324,4 +325,76 @@ def run_linkage(
     return LinkageResult(
         clks=clks, blocks=blocks, pairs=pairs, clusters=clusters,
         metrics=metrics,
+    )
+
+
+def run_linkage_two_party(
+    spark: SparkSession,
+    party_a: DataFrame,
+    party_b: DataFrame,
+    config: LinkageConfig,
+    one_to_one: bool = True,
+) -> LinkageResult:
+    """Two-party record linkage (the reference tutorial's FEBRL flow:
+    encode both datasets under the SAME secret/schema, block together,
+    score cross-party pairs, optionally enforce a 1-1 matching).
+
+    ``party_a``/``party_b`` rows must carry distinct ``config.key_col``
+    values across parties (prefix them if needed). Returns pairs as
+    (key_a from party_a, key_b from party_b, score); ``clusters`` holds
+    the matched-pair components (useful when one_to_one=False).
+    """
+    from .operators.scoring import one_to_one_matching
+
+    def encode(df: DataFrame) -> DataFrame:
+        return encode_clks(
+            df,
+            config.schema,
+            config.secret,
+            key_cols=(config.key_col,),
+            feature_cols=config.feature_cols,
+            validate=config.validate,
+        ).persist()
+
+    clks_a = encode(party_a)
+    clks_a.count()
+    clks_b = encode(party_b)
+    clks_b.count()
+
+    def bands(clks: DataFrame) -> DataFrame:
+        return block_keys(
+            clks,
+            l=config.schema.l,
+            num_bands=config.num_bands,
+            bits_per_band=config.bits_per_band,
+            seed=config.lsh_seed,
+            salt=config.lsh_salt,
+            key_cols=(config.key_col,),
+        )
+
+    blocks_a = bands(clks_a)
+    blocks_b = bands(clks_b)
+    pairs = candidate_pairs(
+        blocks_a, other=blocks_b, key_col=config.key_col,
+        repartition=config.pair_partitions,
+    )
+    scored = score_candidates(
+        pairs, clks_a, threshold=config.threshold,
+        other_clks=clks_b, key_col=config.key_col,
+    ).persist()
+    scored.count()
+    matched = one_to_one_matching(scored) if one_to_one else scored
+
+    components = connected_components(matched)
+    all_keys = clks_a.select(config.key_col).union(
+        clks_b.select(config.key_col)
+    )
+    clusters = attach_cluster_ids(all_keys, components,
+                                  key_col=config.key_col)
+    return LinkageResult(
+        clks=clks_a.unionByName(clks_b),
+        blocks=blocks_a.unionByName(blocks_b),
+        pairs=matched,
+        clusters=clusters,
+        metrics={},
     )

@@ -168,3 +168,48 @@ class TestStats:
         got = observation.get
         assert got["rows"] == 300
         assert got["popcount_mean"] > 0
+
+
+class TestTwoPartyLinkage:
+    def test_febrl_style_linkage_f1(self, spark, names_schema):
+        """Two parties, 80%% overlap, exact-duplicate records: the matched
+        pairs must recover the overlap (reference tutorial flow,
+        docs/tutorial_api.ipynb cells 24-35)."""
+        from pyspark.sql import functions as F
+
+        from clkhash_spark.pipeline import (
+            LinkageConfig,
+            run_linkage_two_party,
+        )
+        from clkhash_spark.sources.randomnames import (
+            generate_overlapping_subsets,
+            random_persons,
+        )
+
+        persons = random_persons(spark, 400).cache()
+        party_a, party_b = generate_overlapping_subsets(persons, 200, 0.8)
+        # Distinct keys per party; ground truth recoverable from INDEX.
+        a = party_a.withColumn(
+            "key", F.concat(F.lit("A:"), F.col("INDEX"))
+        )
+        b = party_b.withColumn(
+            "key", F.concat(F.lit("B:"), F.col("INDEX"))
+        )
+        feature_cols = [f.identifier for f in names_schema.fields]
+        config = LinkageConfig(
+            schema=names_schema, secret="two-party", key_col="key",
+            feature_cols=feature_cols, threshold=0.95,
+            num_bands=64, bits_per_band=16,
+        )
+        result = run_linkage_two_party(spark, a, b, config)
+        matched = result.pairs.select(
+            F.regexp_replace("key_a", "^[AB]:", "").alias("idx_a"),
+            F.regexp_replace("key_b", "^[AB]:", "").alias("idx_b"),
+        )
+        tp = matched.where(F.col("idx_a") == F.col("idx_b")).count()
+        total = matched.count()
+        overlap = 160  # 80% of 200
+        precision = tp / total if total else 0.0
+        recall = tp / overlap
+        assert precision >= 0.99, (tp, total)
+        assert recall >= 0.99, (tp, overlap)
