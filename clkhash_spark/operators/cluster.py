@@ -41,11 +41,17 @@ def connected_components(
     keys, which at sandbox scale is negligible and at 10^12 scale should be
     replaced by a dense-id assignment join; see ``assign_dense_ids``).
     """
-    # Vertex ids: int64 hashes of the string keys.
+    # Vertex ids: int64 hashes of the keys (numeric keys pass through —
+    # callers that already work in the hashed-id domain skip a re-hash).
+    key_type = dict(pairs.dtypes)[key_a]
+    if key_type in ("bigint", "int", "long"):
+        vertex = lambda c: F.col(c).cast("long")  # noqa: E731
+    else:
+        vertex = lambda c: F.xxhash64(F.col(c))  # noqa: E731
     edges = (
         pairs.select(
-            F.xxhash64(F.col(key_a)).alias("src"),
-            F.xxhash64(F.col(key_b)).alias("dst"),
+            vertex(key_a).alias("src"),
+            vertex(key_b).alias("dst"),
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
@@ -54,7 +60,7 @@ def connected_components(
         pairs.select(F.col(key_a).alias("key"))
         .union(pairs.select(F.col(key_b).alias("key")))
         .distinct()
-        .select("key", F.xxhash64(F.col("key")).alias("id"))
+        .select("key", vertex("key").alias("id"))
     )
 
     # Symmetrize once; labels start as the vertex id itself.

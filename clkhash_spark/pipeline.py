@@ -273,15 +273,25 @@ def run_linkage(
         ),
     )
 
+    # Work in an int64 key domain through the shuffle-heavy middle
+    # stages: banding, the pair self-join, and the CLK payload joins all
+    # move (long, long) rows instead of (long, url-string) — ~2.5x less
+    # shuffle volume. URL strings rejoin only on the skinny final pairs.
+    # (xxhash64 collisions across keys are negligible below ~10^9 rows;
+    # beyond that substitute a dense-id assignment join here.)
+    kid_col = "_kid"
+    clks_k = clks.withColumn(kid_col, F.xxhash64(F.col(config.key_col)))
+    ids = clks_k.select(kid_col, config.key_col)
+
     def build_blocks() -> DataFrame:
         blocks = block_keys(
-            clks,
+            clks_k,
             l=config.schema.l,
             num_bands=config.num_bands,
             bits_per_band=config.bits_per_band,
             seed=config.lsh_seed,
             salt=config.lsh_salt,
-            key_cols=(config.key_col,),
+            key_cols=(kid_col,),
         )
         if config.max_block_size:
             # Persist the raw banding once: the cap needs it twice (size
@@ -291,7 +301,7 @@ def run_linkage(
                 blocks,
                 config.max_block_size,
                 mode=config.block_cap_mode,
-                key_cols=(config.key_col,),
+                key_cols=(kid_col,),
             )
             metrics["block_cap_accounting"] = (
                 accounting.first().asDict()
@@ -300,19 +310,39 @@ def run_linkage(
 
     blocks = stage("blocks", build_blocks)
 
-    pairs = stage(
-        "pairs",
-        lambda: score_candidates(
+    def build_pairs() -> DataFrame:
+        scored = score_candidates(
             candidate_pairs(
                 blocks,
-                key_col=config.key_col,
+                key_col=kid_col,
                 repartition=config.pair_partitions,
             ),
-            clks,
+            clks_k,
             threshold=config.threshold,
-            key_col=config.key_col,
-        ),
-    )
+            key_col=kid_col,
+        )
+        # Back to user-facing keys for the stage table / consumers.
+        id_a = ids.select(
+            F.col(kid_col).alias("key_a"),
+            F.col(config.key_col).alias("_url_a"),
+        )
+        id_b = ids.select(
+            F.col(kid_col).alias("key_b"),
+            F.col(config.key_col).alias("_url_b"),
+        )
+        # Pairs were canonicalized in the kid domain; re-canonicalize on
+        # the user-facing keys (string order != hash order).
+        return (
+            scored.join(id_a, on="key_a")
+            .join(id_b, on="key_b")
+            .select(
+                F.least("_url_a", "_url_b").alias("key_a"),
+                F.greatest("_url_a", "_url_b").alias("key_b"),
+                "score",
+            )
+        )
+
+    pairs = stage("pairs", build_pairs)
 
     def build_clusters() -> DataFrame:
         components = connected_components(pairs)

@@ -126,8 +126,23 @@ class TestBlocking:
         self, spark, small_linkage
     ):
         pages, config, result = small_linkage
-        blocks = result.blocks
-        pair_universe = candidate_pairs(blocks, key_col="url")
+        blocks = result.blocks  # kid (hashed-key) domain
+        ids = result.clks.select(
+            F.xxhash64("url").alias("kid"), "url"
+        )
+        kid_pairs = candidate_pairs(blocks, key_col="_kid")
+        pair_universe = (
+            kid_pairs.join(
+                ids.select(F.col("kid").alias("key_a"),
+                           F.col("url").alias("url_a")), on="key_a")
+            .join(
+                ids.select(F.col("kid").alias("key_b"),
+                           F.col("url").alias("url_b")), on="key_b")
+            .select(
+                F.least("url_a", "url_b").alias("key_a"),
+                F.greatest("url_a", "url_b").alias("key_b"),
+            )
+        )
         truth = truth_pairs(webpages_truth(pages))
         missed = truth.join(
             pair_universe, on=["key_a", "key_b"], how="left_anti"

@@ -63,12 +63,15 @@ result = run_linkage(spark, pages,
 result.clusters.write.format("noop").mode("overwrite").save()
 pipeline_s = time.time() - t0
 
+stage_seconds = {k: v for k, v in result.metrics.items()
+                 if k.endswith("_seconds")}
 print(json.dumps({
     "cores": cores, "rows": rows,
     "encode_seconds": round(encode_s, 2),
     "encode_rows_per_sec": round(rows / encode_s, 1),
     "pipeline_seconds": round(pipeline_s, 2),
     "pipeline_rows_per_sec": round(rows / pipeline_s, 1),
+    "stage_seconds": stage_seconds,
 }))
 spark.stop()
 """
