@@ -313,6 +313,127 @@ FROM h
 """
 
 
+def q_doc_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-shingle Jaccard for pairs sharing the min-shingle
+    fingerprint (1-permutation MinHash prefilter)."""
+    docs = _read(spark, sf_dir, "documents")
+    fps = text_ops.fingerprints(docs)
+    left = fps.select(F.col("shingle_fp"), F.col("doc_id").alias("doc_a"))
+    right = fps.select(F.col("shingle_fp"), F.col("doc_id").alias("doc_b"))
+    candidates = (
+        left.join(right, on="shingle_fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return dedup.shingle_jaccard(docs, candidates, shingle_size=3)
+
+
+SQL_DOC_SHINGLE_JACCARD = r"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' ') AS norm_words
+    FROM documents
+), fp AS (
+    SELECT doc_id,
+           md5(CASE WHEN len(words) >= 5
+                    THEN list_min([array_to_string(words[i:i+4], ' ')
+                                   FOR i IN range(1, len(words) - 3)])
+                    ELSE array_to_string(words, ' ') END) AS shingle_fp
+    FROM base
+), sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(norm_words) >= 3
+                    THEN [array_to_string(norm_words[i:i+2], ' ')
+                          FOR i IN range(1, len(norm_words) - 1)]
+                    ELSE [array_to_string(norm_words, ' ')] END
+           ) AS shingles
+    FROM base
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM fp a JOIN fp b ON a.shingle_fp = b.shingle_fp
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / len(list_distinct(sa.shingles || sb.shingles)), 6)
+           AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_a
+JOIN sh sb ON sb.doc_id = cand.doc_b
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window style aggregate: events per type per hour with an
+    exact integer value sum."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+            ).alias("value_milli_sum"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))::BIGINT
+           AS value_milli_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (customer ⋈ orders ⋈ nation) with broadcast dims."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+           AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity (SQL-oracled, integer-exact)
 # ---------------------------------------------------------------------------
@@ -590,6 +711,7 @@ QUERIES: Dict[str, QueryFn] = {
     "doc_minhash_signatures": q_doc_minhash_signatures,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash": q_doc_simhash,
+    "doc_shingle_jaccard": q_doc_shingle_jaccard,
     # similarity
     "emb_topk": q_emb_topk,
     "emb_bucket_sizes": q_emb_bucket_sizes,
@@ -597,6 +719,8 @@ QUERIES: Dict[str, QueryFn] = {
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
     "events_top_by_user": q_events_top_by_user,
+    "events_hourly": q_events_hourly,
+    "revenue_by_nation": q_revenue_by_nation,
     # CLK pipeline (rows-only checks)
     "clk_encode": q_clk_encode,
     "clk_popcount_hist": q_clk_popcount_hist,
@@ -613,9 +737,12 @@ ORACLES: Dict[str, str] = {
     "doc_minhash_signatures": SQL_DOC_MINHASH_SIGNATURES,
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_simhash": SQL_DOC_SIMHASH,
+    "doc_shingle_jaccard": SQL_DOC_SHINGLE_JACCARD,
     "emb_topk": SQL_EMB_TOPK,
     "emb_bucket_sizes": SQL_EMB_BUCKET_SIZES,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "events_top_by_user": SQL_EVENTS_TOP_BY_USER,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
 }
