@@ -37,11 +37,21 @@ def candidate_pairs(
     key_col: str = "url",
     block_col: str = "block_key",
     repartition: Optional[int] = None,
+    min_band_matches: int = 1,
 ) -> DataFrame:
-    """Distinct candidate pairs from shared block keys.
+    """Candidate pairs from shared block keys.
 
-    Self-join (``other=None``): pairs ``(key_a < key_b)`` sharing ≥1 block.
-    Two-party: every cross pair sharing ≥1 block.
+    Self-join (``other=None``): pairs ``(key_a < key_b)``; two-party:
+    every cross pair.
+
+    ``min_band_matches``: require collision in at least this many bands.
+    With per-band collision probability ``p``, an unrelated pair passes
+    ``≥2`` with probability ``≈(b·p)²/2`` instead of ``b·p`` — a
+    quadratic suppression of spurious candidates for the same shuffle
+    cost (the pair aggregation replaces the ``distinct``), while true
+    near-duplicates (p ≈ 0.2/band, expected ~13 of 64 bands) lose
+    ~1e-5 recall. This is what keeps the scored-pair volume O(n) as n
+    grows; see ``tuned_blocking`` for the band-width side of the law.
     """
     left = blocks.select(
         F.col(block_col), F.col(key_col).alias("key_a")
@@ -58,13 +68,19 @@ def candidate_pairs(
         condition = F.lit(True)
     if repartition:
         left = left.repartition(repartition, block_col)
-    pairs = (
+    joined = (
         left.join(right, on=block_col, how="inner")
         .where(condition)
         .select("key_a", "key_b")
-        .distinct()  # a pair may collide in several bands
     )
-    return pairs
+    if min_band_matches <= 1:
+        return joined.distinct()  # a pair may collide in several bands
+    return (
+        joined.groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("_band_matches"))
+        .where(F.col("_band_matches") >= min_band_matches)
+        .select("key_a", "key_b")
+    )
 
 
 def dice_scores(

@@ -66,40 +66,57 @@ def tuned_blocking(
     n_rows: int,
     num_bands: int = 64,
     unrelated_agreement: float = 0.57,
-    duplicate_agreement: float = 0.93,
+    duplicate_agreement: float = 0.90,
     target_candidates_per_row: float = 20.0,
+    min_band_matches: int = 2,
 ) -> Dict[str, int]:
     """Scale-aware LSH band sizing.
 
     Two CLK bits of *unrelated* records agree with probability
-    ``1 - 2f(1-f)`` (~0.57 at fill 0.32) regardless of content, so the
-    expected spurious candidate volume is ``n²/2 · b · a_u^r`` — it grows
-    with n² while true pairs grow with n. Holding candidates to
-    ``target_candidates_per_row · n`` therefore requires
-    ``r ≈ log(2·target/(n·b)) / log(a_u)`` — bits_per_band must grow
-    logarithmically with n (22 bits ≈ 100k rows, 27 ≈ 1M, 44 ≈ 10^10).
-    Recall per true pair is ``1-(1-a_d^r)^b``; with a_d≈0.93 and b=64 it
-    stays ≥0.99 for every r ≤ 44 at 1024-bit CLKs... up to r≈34; past
-    that raise ``num_bands`` too (the returned dict reports the predicted
-    recall so callers can check).
+    ``1 - 2f(1-f)`` (~0.57 at fill 0.32) regardless of content, so
+    spurious candidates grow with n² while true pairs grow with n.
+    Holding candidates to ``target_candidates_per_row · n``:
+
+    - ``min_band_matches=1``: leakage ``≈ n²/2 · b·a_u^r`` →
+      ``r ≈ log(2·target/(n·b)) / log(a_u)`` (22 bits ≈ 100k rows,
+      44 ≈ 10^10 — steep).
+    - ``min_band_matches=2`` (default): leakage
+      ``≈ n²/2 · (b·a_u^r)²/2`` — quadratic suppression →
+      ``r ≈ log(2·sqrt(target/n)/b) / log(a_u)`` (16 bits ≈ 1M rows,
+      28 ≈ 10^12 — CLK-bit LSH stays viable at web scale).
+
+    Recall per true pair (worst-case band agreement ``a_d≈0.90`` for a
+    marginal Dice-0.75 duplicate): ``P(Binom(b, a_d^r) ≥ m)``; bands
+    double until the prediction clears 0.995 (reported so callers can
+    check).
     """
     import math
 
-    frac = 2.0 * target_candidates_per_row / (n_rows * num_bands)
+    # The binding constraint is the block-join OUTPUT volume
+    # (n²/2 · b · a_u^r skinny rows), which min_band_matches does NOT
+    # reduce — it only filters what gets scored. Bound the join at
+    # ~10x the scored target per row; the ≥2-band rule then makes the
+    # scored set essentially pure.
+    join_budget_per_row = 10.0 * target_candidates_per_row
+    frac = 2.0 * join_budget_per_row / (n_rows * num_bands)
     r = math.ceil(math.log(frac) / math.log(unrelated_agreement))
-    r = max(16, min(r, 48))
+    r = max(14, min(r, 48))
+
+    def predicted_recall(bands: int) -> float:
+        p = duplicate_agreement ** r
+        miss = (1 - p) ** bands
+        if min_band_matches >= 2:
+            miss += bands * p * (1 - p) ** (bands - 1)
+        return 1 - miss
+
     bands = num_bands
-    while bands < 512:
-        predicted_recall = 1 - (1 - duplicate_agreement ** r) ** bands
-        if predicted_recall >= 0.995:
-            break
+    while bands < 512 and predicted_recall(bands) < 0.995:
         bands *= 2
     return {
         "num_bands": bands,
         "bits_per_band": r,
-        "predicted_recall": round(
-            1 - (1 - duplicate_agreement ** r) ** bands, 6
-        ),
+        "predicted_recall": round(predicted_recall(bands), 6),
+        "min_band_matches": min_band_matches,
     }
 
 
@@ -112,15 +129,16 @@ class LinkageConfig:
     # Dice ≥ 0.75 keeps near-dups (≥0.83 on fixtures) and rejects unrelated
     # pages (≤0.50 at 4-gram encoding).
     threshold: float = 0.75
-    # Measured at 20k fixture rows: 64 bands x 22 bits → blocking recall
-    # 0.991 (→ F1 0.9997 after transitive closure), candidate volume
-    # ~1.1e-3 of all pairs; 16 bits hits recall 0.9992 but lets ~2% of all
-    # pairs collide (candidate blow-up at scale), 26 bits halves the
-    # candidates at recall 0.974 (F1 0.9983). At >>10^8 rows raise
-    # bits_per_band (and num_bands to hold recall) — collisions scale with
-    # n^2 while true pairs scale with n.
+    # Measured at 20k fixture rows with the >=2-band rule: 64 bands x
+    # 18 bits → F1 0.9995 (R 0.999); 20 bits → F1 0.9992 with ~half the
+    # join volume. Use tuned_blocking(n) to re-derive for other scales —
+    # join volume grows n² while true pairs grow n.
     num_bands: int = 64
-    bits_per_band: int = 22
+    bits_per_band: int = 18
+    # Require >=2 band collisions before a pair is scored: quadratic
+    # suppression of spurious candidates (see candidate_pairs) at ~0.1%
+    # recall cost for marginal (Dice~0.76) duplicates.
+    min_band_matches: int = 2
     lsh_seed: int = 42
     lsh_salt: int = 0
     max_block_size: Optional[int] = 2000
@@ -205,6 +223,7 @@ def _fingerprint(config: LinkageConfig, stage: str) -> str:
         "threshold": config.threshold,
         "num_bands": config.num_bands,
         "bits_per_band": config.bits_per_band,
+        "min_band_matches": config.min_band_matches,
         "lsh_seed": config.lsh_seed,
         "lsh_salt": config.lsh_salt,
         "max_block_size": config.max_block_size,
@@ -316,6 +335,7 @@ def run_linkage(
                 blocks,
                 key_col=kid_col,
                 repartition=config.pair_partitions,
+                min_band_matches=config.min_band_matches,
             ),
             clks_k,
             threshold=config.threshold,
@@ -407,6 +427,7 @@ def run_linkage_two_party(
     pairs = candidate_pairs(
         blocks_a, other=blocks_b, key_col=config.key_col,
         repartition=config.pair_partitions,
+        min_band_matches=config.min_band_matches,
     )
     scored = score_candidates(
         pairs, clks_a, threshold=config.threshold,

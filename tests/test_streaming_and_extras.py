@@ -168,7 +168,7 @@ class TestTunedBlocking:
             for n in (10**3, 10**5, 10**7, 10**9, 10**12)
         ]
         assert rs == sorted(rs)
-        assert all(16 <= r <= 48 for r in rs)
+        assert all(14 <= r <= 48 for r in rs)
 
     def test_recall_prediction_stays_high(self):
         for n in (10**4, 10**6, 10**9, 10**12):
