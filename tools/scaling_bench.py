@@ -53,13 +53,14 @@ t0 = time.time()
 clks.write.format("noop").mode("overwrite").save()
 encode_s = time.time() - t0
 
-tuned = tuned_blocking(rows)
+tuned = tuned_blocking(rows, target_candidates_per_row=5.0)
 t0 = time.time()
 result = run_linkage(spark, pages,
                      LinkageConfig(schema=webpages_schema(),
                                    secret="scaling-secret",
                                    num_bands=tuned["num_bands"],
-                                   bits_per_band=tuned["bits_per_band"]))
+                                   bits_per_band=tuned["bits_per_band"],
+                                   min_band_matches=tuned["min_band_matches"]))
 result.clusters.write.format("noop").mode("overwrite").save()
 pipeline_s = time.time() - t0
 
