@@ -1,30 +1,90 @@
 """Transitive clustering: connected components over matched pairs.
 
-Alternating min-id label propagation (required by the north rule): every
-vertex repeatedly adopts the smallest label among itself and its
-neighbours until a fixpoint. Duplicate clusters from blocking are
-near-cliques, so convergence is typically 2-3 rounds; each round is one
-shuffle join + one aggregation.
+Alternating **large-star / small-star** label contraction (the standard
+MapReduce connected-components construction — converges in O(log² n)
+rounds on any graph, O(log n) in practice, unlike plain min-label
+propagation whose round count grows with component diameter):
+
+- *large-star*: every node's strictly-larger neighbours re-attach to the
+  minimum of its neighbourhood (including itself);
+- *small-star*: orienting each edge large→small, every node and its
+  smaller neighbours attach to the neighbourhood minimum.
+
+Both steps are one shuffle aggregation + one join each; edges shrink to
+stars (every vertex directly attached to its component's minimum id).
 
 Scale notes:
-- Labels are int64 (hash of the key) — iterative joins on long keys are
-  far cheaper than on URLs; the mapping back to keys is one final join.
-- ``localCheckpoint`` every round truncates lineage (else the plan doubles
-  per iteration and the driver OOMs planning round ~15). On a real
-  cluster use reliable ``checkpoint``/table write-back instead — flag
-  ``reliable=True``.
-- Convergence is detected with a single ``agg(max(changed))`` — one tiny
-  job per round, no collect of data rows.
+- Vertices are int64 (hash of the key, or the key itself when callers
+  already work in a hashed-id domain) — iterative joins on longs, one
+  final join back to keys.
+- ``localCheckpoint`` per round truncates lineage (use
+  ``reliable=True`` → ``checkpoint`` on a real cluster).
+- Convergence is detected by an edge-set checksum (count + hash sum) —
+  two tiny aggregates per round, no data collect.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "attach_cluster_ids"]
+
+
+def _persist(df: DataFrame, reliable: bool) -> DataFrame:
+    """Truncate lineage between iterations."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Attach strictly-larger neighbours to min(Γ(u) ∪ {u})."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, on="u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small; attach node + smaller neighbours to the
+    neighbourhood minimum."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        oriented.join(mins, on="u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        moved.union(self_edges)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> Tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # mod 2^31 per row so the sum can never overflow a long
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31))), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return row["n"], row["h"]
 
 
 def connected_components(
@@ -36,26 +96,23 @@ def connected_components(
 ) -> DataFrame:
     """Cluster pairs into components; returns ``(key, cluster_id)``.
 
-    ``cluster_id`` is the minimum int64 vertex-hash in the component —
-    deterministic for a given input (assuming no xxhash64 collision between
-    keys, which at sandbox scale is negligible and at 10^12 scale should be
-    replaced by a dense-id assignment join; see ``assign_dense_ids``).
+    ``cluster_id`` is the minimum int64 vertex id in the component —
+    deterministic for a given input. String keys are hashed with
+    xxhash64 (collisions negligible below ~10^9 distinct keys; beyond
+    that assign dense ids first); numeric keys pass through unhashed.
     """
-    # Vertex ids: int64 hashes of the keys (numeric keys pass through —
-    # callers that already work in the hashed-id domain skip a re-hash).
     key_type = dict(pairs.dtypes)[key_a]
     if key_type in ("bigint", "int", "long"):
         vertex = lambda c: F.col(c).cast("long")  # noqa: E731
     else:
         vertex = lambda c: F.xxhash64(F.col(c))  # noqa: E731
+
     edges = (
-        pairs.select(
-            vertex(key_a).alias("src"),
-            vertex(key_b).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
+        pairs.select(vertex(key_a).alias("u"), vertex(key_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    edges = _persist(edges, reliable)
     key_ids = (
         pairs.select(F.col(key_a).alias("key"))
         .union(pairs.select(F.col(key_b).alias("key")))
@@ -63,52 +120,29 @@ def connected_components(
         .select("key", vertex("key").alias("id"))
     )
 
-    # Symmetrize once; labels start as the vertex id itself.
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    sym = _persist(sym, reliable)
-    labels = (
-        sym.select(F.col("src").alias("id"))
+    signature = _checksum(edges)
+    for _ in range(max_iterations):
+        edges = _persist(_small_star(_large_star(edges)), reliable)
+        new_signature = _checksum(edges)
+        if new_signature == signature:
+            break
+        signature = new_signature
+
+    # Fixpoint edges are stars (v → component min). Roots map to
+    # themselves.
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("label"))
+    roots = (
+        edges.select(F.col("v").alias("id"))
         .distinct()
+        .join(labels.select("id"), on="id", how="left_anti")
         .withColumn("label", F.col("id"))
     )
-    labels = _persist(labels, reliable)
-
-    for _ in range(max_iterations):
-        # Each vertex adopts min(own label, neighbours' labels).
-        incoming = (
-            sym.join(labels, on=sym.src == labels.id, how="inner")
-            .select(F.col("dst").alias("id"), F.col("label"))
-        )
-        new_labels = (
-            labels.unionByName(incoming)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        )
-        new_labels = _persist(new_labels, reliable)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    all_labels = labels.unionByName(roots)
 
     return (
-        key_ids.join(labels, on="id", how="inner")
+        key_ids.join(all_labels, on="id", how="inner")
         .select("key", F.col("label").alias("cluster_id"))
     )
-
-
-def _persist(df: DataFrame, reliable: bool) -> DataFrame:
-    """Truncate lineage between iterations."""
-    if reliable:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
 
 
 def attach_cluster_ids(
@@ -118,10 +152,14 @@ def attach_cluster_ids(
 ) -> DataFrame:
     """Left-join cluster ids back onto records; singletons get their own
     id (their key hash), so the output is a total clustering."""
+    key_type = dict(records.dtypes)[key_col]
+    if key_type in ("bigint", "int", "long"):
+        fallback = F.col(key_col).cast("long")
+    else:
+        fallback = F.xxhash64(F.col(key_col))
     joined = records.join(
         clusters.withColumnRenamed("key", key_col), on=key_col, how="left"
     )
     return joined.withColumn(
-        "cluster_id",
-        F.coalesce(F.col("cluster_id"), F.xxhash64(F.col(key_col))),
+        "cluster_id", F.coalesce(F.col("cluster_id"), fallback)
     )

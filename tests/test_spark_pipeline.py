@@ -289,6 +289,18 @@ class TestClustering:
         components = connected_components(pairs)
         assert components.select("cluster_id").distinct().count() == 1
 
+    def test_very_long_chain_pointer_jumping(self, spark):
+        """A 300-node path graph must converge well inside the iteration
+        cap — pointer jumping makes rounds O(log n), not O(n)."""
+        n = 300
+        pairs = spark.createDataFrame(
+            [(f"c{i:04d}", f"c{i+1:04d}") for i in range(n)],
+            ["key_a", "key_b"],
+        )
+        components = connected_components(pairs, max_iterations=15)
+        assert components.select("cluster_id").distinct().count() == 1
+        assert components.count() == n + 1
+
     def test_attach_cluster_ids_gives_singletons_ids(self, spark):
         records = spark.createDataFrame(
             [("a",), ("b",), ("lonely",)], ["url"]
