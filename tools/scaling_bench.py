@@ -1,4 +1,5 @@
-"""Scaling-efficiency evidence: the same job at two parallelism levels.
+"""Scaling-efficiency evidence: the same spark-submit job at two
+parallelism levels.
 
 The north rule's two-cluster-size criterion can't use a real cluster in
 this sandbox, so (per the driver instruction) we run the identical
@@ -7,12 +8,20 @@ throughput at both plus scaling efficiency:
 
     efficiency = (throughput_4N / throughput_N) / 4
 
-Each level runs in a fresh subprocess (a JVM can't change its master);
-the workload is the CLK encode stage (the dominant compute) plus the full
-linkage pipeline on the deterministic fixture.
+Each level is a real ``spark-submit --master local[k] --py-files
+dist/clkhash_spark.zip tools/linkage_job.py`` invocation — the package
+is shipped as a zip and imported from it, exactly as on a
+multi-executor cluster; every tuning conf rides on the submit line.
 
-Usage: python tools/scaling_bench.py [rows] [small_cores] [factor]
+Usage: python tools/scaling_bench.py [rows] [small_cores] [factor] [repeats]
 Writes/updates BENCH-SCALING.md and prints a JSON summary.
+
+NOTE: run on a quiet machine. Concurrent load (pytest, another Spark
+job) silently destroys the measurement — the box shares one DRAM bus.
+Even "quiet", this sandbox VM shows 2x run-to-run noise, so each level
+is run ``repeats`` times and each timing takes the per-metric minimum
+(noise only ever adds time; the minimum is the closest observable to
+the true cost).
 """
 
 from __future__ import annotations
@@ -21,88 +30,102 @@ import json
 import os
 import subprocess
 import sys
+import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-WORKER = r"""
-import json, os, sys, time
-sys.path.insert(0, %(repo)r)
-from clkhash_spark.session import build_session
-from clkhash_spark.sources.webpages import synthetic_webpages
-from clkhash_spark.operators.encode import encode_clks
-from clkhash_spark.pipeline import (LinkageConfig, run_linkage,
-                                    tuned_blocking, webpages_schema)
-
-cores = %(cores)d
-rows = %(rows)d
-spark = build_session(app_name=f"scaling-{cores}", cores=cores)
-spark.sparkContext.setLogLevel("ERROR")
-
-pages = synthetic_webpages(spark, rows, seed=42).select("url", "text")
-pages = pages.repartition(4 * cores).persist()
-pages.count()  # materialize input outside the timed region
-
-clks = encode_clks(pages, webpages_schema(), "scaling-secret",
-                   key_cols=("url",))
-# Warm-up pass: spin up + import-load every Python worker once, so the
-# timed region measures steady-state throughput (what a long job sees),
-# not per-worker cold start.
-clks.write.format("noop").mode("overwrite").save()
-
-t0 = time.time()
-clks.write.format("noop").mode("overwrite").save()
-encode_s = time.time() - t0
-
-tuned = tuned_blocking(rows, target_candidates_per_row=5.0)
-t0 = time.time()
-result = run_linkage(spark, pages,
-                     LinkageConfig(schema=webpages_schema(),
-                                   secret="scaling-secret",
-                                   num_bands=tuned["num_bands"],
-                                   bits_per_band=tuned["bits_per_band"],
-                                   min_band_matches=tuned["min_band_matches"]))
-result.clusters.write.format("noop").mode("overwrite").save()
-pipeline_s = time.time() - t0
-
-stage_seconds = {k: v for k, v in result.metrics.items()
-                 if k.endswith("_seconds")}
-print(json.dumps({
-    "cores": cores, "rows": rows,
-    "encode_seconds": round(encode_s, 2),
-    "encode_rows_per_sec": round(rows / encode_s, 1),
-    "pipeline_seconds": round(pipeline_s, 2),
-    "pipeline_rows_per_sec": round(rows / pipeline_s, 1),
-    "stage_seconds": stage_seconds,
-}))
-spark.stop()
-"""
+ZIP_PATH = os.path.join(REPO, "dist", "clkhash_spark.zip")
 
 
-def run_level(cores: int, rows: int) -> dict:
-    script = WORKER % {"repo": REPO, "cores": cores, "rows": rows}
-    out = subprocess.run(
-        [sys.executable, "-c", script],
-        capture_output=True, text=True, timeout=1800,
-    )
+def spark_submit_bin() -> str:
+    import pyspark
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin",
+                        "spark-submit")
+
+
+def build_zip() -> str:
+    """Package clkhash_spark/ into dist/clkhash_spark.zip for --py-files."""
+    os.makedirs(os.path.dirname(ZIP_PATH), exist_ok=True)
+    pkg = os.path.join(REPO, "clkhash_spark")
+    with zipfile.ZipFile(ZIP_PATH, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, dirnames, filenames in os.walk(pkg):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for name in sorted(filenames):
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, name)
+                zf.write(full, os.path.relpath(full, REPO))
+    return ZIP_PATH
+
+
+def submit_command(cores: int, rows: int) -> list[str]:
+    # Mirrors clkhash_spark.session.build_session, but on the submit
+    # line — the job script itself only calls getOrCreate().
+    confs = {
+        "spark.sql.shuffle.partitions": str(max(2 * cores, 8)),
+        "spark.default.parallelism": str(cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.ui.enabled": "false",
+    }
+    cmd = [spark_submit_bin(), "--master", f"local[{cores}]",
+           "--py-files", ZIP_PATH]
+    for key, value in confs.items():
+        cmd += ["--conf", f"{key}={value}"]
+    cmd += [os.path.join(REPO, "tools", "linkage_job.py"),
+            "--rows", str(rows)]
+    return cmd
+
+
+def run_level_once(cores: int, rows: int) -> dict:
+    env = dict(os.environ,
+               PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    # Keep the repo out of PYTHONPATH: clkhash_spark must resolve from
+    # the --py-files zip, proving the shipped artifact is complete.
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(submit_command(cores, rows), cwd="/tmp",
+                         capture_output=True, text=True, timeout=1800,
+                         env=env)
     if out.returncode != 0:
         raise RuntimeError(f"level {cores} failed:\n{out.stderr[-3000:]}")
-    last = out.stdout.strip().splitlines()[-1]
-    return json.loads(last)
+    json_lines = [ln for ln in out.stdout.strip().splitlines()
+                  if ln.startswith("{")]
+    return json.loads(json_lines[-1])
+
+
+def run_level(cores: int, rows: int, repeats: int) -> dict:
+    """Best-of-``repeats`` per metric (min seconds) for one level."""
+    runs = [run_level_once(cores, rows) for _ in range(repeats)]
+    best = dict(runs[0])
+    for metric in ("encode_seconds", "pipeline_seconds"):
+        best[metric] = min(r[metric] for r in runs)
+    best["encode_rows_per_sec"] = round(rows / best["encode_seconds"], 1)
+    best["pipeline_rows_per_sec"] = round(rows / best["pipeline_seconds"], 1)
+    best["stage_seconds"] = {
+        key: min(r["stage_seconds"][key] for r in runs)
+        for key in runs[0]["stage_seconds"]}
+    best["repeats"] = repeats
+    return best
 
 
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     big = small * factor
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
-    low = run_level(small, rows)
-    high = run_level(big, rows)
+    build_zip()
+    low = run_level(small, rows, repeats)
+    high = run_level(big, rows, repeats)
 
     def eff(metric: str) -> float:
-        return round(
-            (high[metric] / low[metric]) / factor, 3
-        )
+        return round((high[metric] / low[metric]) / factor, 3)
 
     summary = {
         "rows": rows,
@@ -112,29 +135,54 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    def stage_row(label: str, key: str) -> str:
+        lo, hi = low["stage_seconds"].get(key), high["stage_seconds"].get(key)
+        if not lo or not hi:
+            return ""
+        speed = lo / hi  # same rows, so time ratio == throughput ratio
+        return (f"| {label} | {rows / lo:.0f} | {rows / hi:.0f} "
+                f"| {speed:.2f}x | {speed / factor:.3f} |")
+
     lines = [
         "# BENCH-SCALING — throughput at two parallelism levels",
         "",
-        f"Same job, same input ({rows:,} synthetic web pages), "
-        f"local[{small}] vs local[{big}] "
-        "(sandbox stand-in for N vs 4N executors).",
+        f"Same job, same input ({rows:,} synthetic web pages), run via",
+        "real `spark-submit --master local[k] --py-files"
+        " dist/clkhash_spark.zip tools/linkage_job.py`",
+        f"at local[{small}] vs local[{big}] (sandbox stand-in for N vs"
+        " 4N executors; the package is imported from the zip, all confs"
+        " on the submit line).",
+        f"Each level is best-of-{low.get('repeats', 1)} submits,"
+        " per-metric minimum seconds (the sandbox VM has ~2x"
+        " run-to-run noise; noise only adds time).",
         "",
-        "| stage | local[{s}] rows/s | local[{b}] rows/s | speedup | "
-        "efficiency |".format(s=small, b=big),
+        f"| stage | local[{small}] rows/s | local[{big}] rows/s "
+        "| speedup | efficiency |",
         "|---|---|---|---|---|",
         "| CLK encode | {:.0f} | {:.0f} | {:.2f}x | {:.3f} |".format(
             low["encode_rows_per_sec"], high["encode_rows_per_sec"],
             high["encode_rows_per_sec"] / low["encode_rows_per_sec"],
-            summary["encode_scaling_efficiency"],
-        ),
+            summary["encode_scaling_efficiency"]),
+    ]
+    for label, key in [("blocking (band explode+cap)", "blocks_seconds"),
+                       ("pair scoring (join+Dice)", "pairs_seconds"),
+                       ("clustering (CC rounds)", "clusters_seconds")]:
+        row = stage_row(label, key)
+        if row:
+            lines.append(row)
+    lines += [
         "| full pipeline | {:.0f} | {:.0f} | {:.2f}x | {:.3f} |".format(
             low["pipeline_rows_per_sec"], high["pipeline_rows_per_sec"],
             high["pipeline_rows_per_sec"] / low["pipeline_rows_per_sec"],
-            summary["pipeline_scaling_efficiency"],
-        ),
+            summary["pipeline_scaling_efficiency"]),
         "",
         "Efficiency = (throughput_4N / throughput_N) / 4. Target ≥ 0.8 "
-        "(BASELINE.json north rule).",
+        "(BASELINE.json north rule). See BASELINE.md for the",
+        "stage-by-stage interpretation (single-box DRAM ceiling vs what "
+        "a real cluster's added memory channels change).",
+        "",
+        "Submit line (level {k}): `{cmd}`".format(
+            k=small, cmd=" ".join(submit_command(small, rows))),
         "",
         f"Raw: `{json.dumps(summary)}`",
         "",
