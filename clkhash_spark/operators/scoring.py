@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ..core.vectorized import _POPCOUNT_LUT
 
@@ -138,10 +138,43 @@ def score_candidates(
         F.col(popcount_col).alias("popcount_b"),
     )
     joined = pairs.join(payload_a, on="key_a").join(payload_b, on="key_b")
-    scored = dice_scores(joined, score_col=score_col)
-    return scored.where(F.col(score_col) >= threshold).select(
-        "key_a", "key_b", score_col
-    )
+
+    # Score + threshold in ONE Arrow pass. The natural
+    # ``withColumn(score, udf).where(score >= t)`` makes Catalyst push
+    # the predicate below the projection and evaluate the Arrow UDF
+    # twice (once for the Filter, once for the Project); mapInPandas
+    # computes Dice once per batch and sub-threshold pairs never cross
+    # back over the Arrow boundary.
+    out_schema = StructType([
+        joined.schema["key_a"],
+        joined.schema["key_b"],
+        StructField(score_col, DoubleType(), False),
+    ])
+
+    def score_partition(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat_a = np.frombuffer(
+                b"".join(pdf["clk_a"]), dtype=np.uint8).reshape(n, -1)
+            mat_b = np.frombuffer(
+                b"".join(pdf["clk_b"]), dtype=np.uint8).reshape(n, -1)
+            inter = _POPCOUNT_LUT[mat_a & mat_b].sum(axis=1, dtype=np.int64)
+            denom = (pdf["popcount_a"].to_numpy()
+                     + pdf["popcount_b"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = np.where(denom > 0, 2.0 * inter / denom, 0.0)
+            keep = score >= threshold
+            yield pd.DataFrame({
+                "key_a": pdf["key_a"].to_numpy()[keep],
+                "key_b": pdf["key_b"].to_numpy()[keep],
+                score_col: score[keep],
+            })
+
+    return joined.select(
+        "key_a", "key_b", "clk_a", "clk_b", "popcount_a", "popcount_b"
+    ).mapInPandas(score_partition, out_schema)
 
 
 def one_to_one_matching(
