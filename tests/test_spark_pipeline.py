@@ -351,3 +351,29 @@ class TestEndToEnd:
         )
         # pairs stage depends on threshold → must recompute.
         assert changed.metrics.get("pairs_resumed") is None
+
+
+class TestInputHintSchema:
+    """The fixture must match BASELINE.json's input_hint exactly:
+    (url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
+    """
+
+    def test_webpages_schema_matches_input_hint(self, spark):
+        pages = synthetic_webpages(spark, 10, seed=1)
+        got = [(f.name, f.dataType.simpleString()) for f in pages.schema]
+        assert got[:5] == [
+            ("url", "string"),
+            ("warc_ts", "timestamp"),
+            ("html", "binary"),
+            ("text", "string"),
+            ("lang", "string"),
+        ]
+        # anything beyond the input shape must be ground-truth labels only
+        assert [name for name, _ in got[5:]] == ["entity_id", "variant"]
+
+    def test_webpages_deterministic_and_text_embedded_in_html(self, spark):
+        a = synthetic_webpages(spark, 50, seed=9).orderBy("url").collect()
+        b = synthetic_webpages(spark, 50, seed=9).orderBy("url").collect()
+        assert a == b
+        for row in a:
+            assert row.text.encode("utf-8") in bytes(row.html)
