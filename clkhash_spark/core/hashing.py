@@ -25,12 +25,22 @@ from __future__ import annotations
 
 import hashlib
 import hmac
+import sys
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
 from .fields import Field
 from .schema import Schema
+
+# blakeHash parity with the reference's native-endian struct.unpack('32H')
+# is only byte-exact on little-endian hosts; every platform Spark
+# realistically runs on qualifies, but make the assumption loud.
+_LITTLE_ENDIAN = sys.byteorder == "little"
+assert _LITTLE_ENDIAN, (
+    "clkhash_spark pins little-endian blakeHash digests; big-endian hosts "
+    "would diverge from reference CLKs"
+)
 
 
 def double_hash_token(
@@ -89,7 +99,8 @@ def blake_hash_token(token_bytes: bytes, k: int, key: bytes, l: int) -> List[int
         ).digest()
         # 64-byte digest → 32 uint16 words. The reference uses native-endian
         # struct.unpack('32H', ...); we pin little-endian, which is identical
-        # on every platform Spark realistically runs on (x86-64 / arm64).
+        # on every platform Spark realistically runs on (x86-64 / arm64) —
+        # _LITTLE_ENDIAN is asserted at import so the assumption is explicit.
         shorts.extend(np.frombuffer(digest, dtype="<u2").tolist())
     return [shorts[i] % l for i in range(k)]
 

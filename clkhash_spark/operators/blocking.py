@@ -188,12 +188,20 @@ def cap_block_size(
     salt_source = split_salt_col or key_cols[0]
     num_splits = F.ceil(F.col("_block_size") / F.lit(max_block_size))
     sub_block = F.pmod(F.xxhash64(F.col(salt_source)), num_splits)
+    # Collision-free rekey: any int64 is a valid block key, so hash
+    # (block, sub_block) instead of packing the sub-block id into high
+    # bits arithmetically — the additive form overflowed int64 (ANSI
+    # error) once a mega-block needed >= 128 splits, and could alias
+    # another band's key space. Forcing the sign bit keeps split keys
+    # disjoint from unsplit band keys, which are always non-negative
+    # (band_id occupies bits 48+, value/salt bits 0-47).
     capped = annotated.withColumn(
         block_col,
         F.when(
             F.col("_block_size") > max_block_size,
-            # Fold the sub-block id into the key's high salt bits.
-            F.col(block_col) + (sub_block + 1) * F.lit(1 << 56),
+            F.xxhash64(
+                F.lit("block-split"), F.col(block_col), sub_block
+            ).bitwiseOR(F.lit(-(1 << 63))),
         ).otherwise(F.col(block_col)),
     ).drop("_block_size")
     return capped, accounting

@@ -93,40 +93,88 @@ def connected_components(
     key_b: str = "key_b",
     max_iterations: int = 50,
     reliable: bool = False,
+    id_assignment: str = "hash",
 ) -> DataFrame:
     """Cluster pairs into components; returns ``(key, cluster_id)``.
 
     ``cluster_id`` is the minimum int64 vertex id in the component —
-    deterministic for a given input. String keys are hashed with
-    xxhash64 (collisions negligible below ~10^9 distinct keys; beyond
-    that assign dense ids first); numeric keys pass through unhashed.
+    deterministic for a given input under ``id_assignment='hash'``.
+
+    ``id_assignment``:
+
+    - ``'hash'`` (default): string keys → xxhash64 (collisions
+      negligible below ~10^9 distinct keys); numeric keys pass through.
+    - ``'dense'``: assign each distinct key a unique per-run int64 via
+      ``monotonically_increasing_id`` — no birthday-collision risk at
+      any scale (the 10^12-row path), at the cost of one extra distinct
+      + two mapping joins, and cluster-id *values* that vary run-to-run
+      (membership does not).
     """
     key_type = dict(pairs.dtypes)[key_a]
-    if key_type in ("bigint", "int", "long"):
-        vertex = lambda c: F.col(c).cast("long")  # noqa: E731
-    else:
-        vertex = lambda c: F.xxhash64(F.col(c))  # noqa: E731
 
-    edges = (
-        pairs.select(vertex(key_a).alias("u"), vertex(key_b).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    if id_assignment == "dense":
+        key_ids = (
+            pairs.select(F.col(key_a).alias("key"))
+            .union(pairs.select(F.col(key_b).alias("key")))
+            .distinct()
+            .withColumn("id", F.monotonically_increasing_id())
+        )
+        # The id map feeds both the edge build and the final join —
+        # persist so both consumers see ONE assignment (re-evaluation
+        # could repartition and renumber).
+        key_ids = _persist(key_ids, reliable)
+        edges = (
+            pairs.join(
+                key_ids.select(F.col("key").alias(key_a),
+                               F.col("id").alias("u")),
+                on=key_a,
+            )
+            .join(
+                key_ids.select(F.col("key").alias(key_b),
+                               F.col("id").alias("v")),
+                on=key_b,
+            )
+            .select("u", "v")
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+    else:
+        if key_type in ("bigint", "int", "long"):
+            vertex = lambda c: F.col(c).cast("long")  # noqa: E731
+        else:
+            vertex = lambda c: F.xxhash64(F.col(c))  # noqa: E731
+        edges = (
+            pairs.select(vertex(key_a).alias("u"), vertex(key_b).alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        key_ids = (
+            pairs.select(F.col(key_a).alias("key"))
+            .union(pairs.select(F.col(key_b).alias("key")))
+            .distinct()
+            .select("key", vertex("key").alias("id"))
+        )
+
     edges = _persist(edges, reliable)
-    key_ids = (
-        pairs.select(F.col(key_a).alias("key"))
-        .union(pairs.select(F.col(key_b).alias("key")))
-        .distinct()
-        .select("key", vertex("key").alias("id"))
-    )
 
     signature = _checksum(edges)
+    converged = False
     for _ in range(max_iterations):
         edges = _persist(_small_star(_large_star(edges)), reliable)
         new_signature = _checksum(edges)
         if new_signature == signature:
+            converged = True
             break
         signature = new_signature
+    if not converged:
+        # Exhausting the budget without a stable edge set means the
+        # final edges may not be star-shaped — emitting labels would be
+        # silently wrong. O(log n) convergence makes this unreachable in
+        # practice; fail loudly rather than mislabel.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations"
+        )
 
     # Fixpoint edges are stars (v → component min). Roots map to
     # themselves.
@@ -149,11 +197,18 @@ def attach_cluster_ids(
     records: DataFrame,
     clusters: DataFrame,
     key_col: str = "url",
+    id_assignment: str = "hash",
 ) -> DataFrame:
     """Left-join cluster ids back onto records; singletons get their own
-    id (their key hash), so the output is a total clustering."""
+    id (their key hash, or a fresh negative id under
+    ``id_assignment='dense'`` — disjoint from the non-negative dense
+    component labels), so the output is a total clustering."""
     key_type = dict(records.dtypes)[key_col]
-    if key_type in ("bigint", "int", "long"):
+    if id_assignment == "dense":
+        fallback = F.monotonically_increasing_id().bitwiseOR(
+            F.lit(-(1 << 63))
+        )
+    elif key_type in ("bigint", "int", "long"):
         fallback = F.col(key_col).cast("long")
     else:
         fallback = F.xxhash64(F.col(key_col))

@@ -131,12 +131,12 @@ class LinkageConfig:
     # Dice ≥ 0.75 keeps near-dups (≥0.83 on fixtures) and rejects unrelated
     # pages (≤0.50 at 4-gram encoding).
     threshold: float = 0.75
-    # Measured at 20k fixture rows with the >=2-band rule: 64 bands x
-    # 18 bits → F1 0.9995 (R 0.999); 20 bits → F1 0.9992 with ~half the
-    # join volume. Use tuned_blocking(n) to re-derive for other scales —
-    # join volume grows n² while true pairs grow n.
-    num_bands: int = 64
-    bits_per_band: int = 18
+    # None (default) = auto-tune from the materialized CLK count via
+    # tuned_blocking(n) — spurious-candidate volume grows n² while true
+    # pairs grow n, so band geometry MUST scale with input size; fixed
+    # values tuned at 100k rows melt down at 10M. Set explicitly to pin.
+    num_bands: Optional[int] = None
+    bits_per_band: Optional[int] = None
     # Require >=2 band collisions before a pair is scored: quadratic
     # suppression of spurious candidates (see candidate_pairs) at ~0.1%
     # recall cost for marginal (Dice~0.76) duplicates.
@@ -149,6 +149,17 @@ class LinkageConfig:
     pair_partitions: Optional[int] = None
     checkpoint_dir: Optional[str] = None
     resume: bool = True
+    # 'hash': int64 keys via xxhash64 (deterministic; collisions
+    # negligible < ~10^9 rows). 'dense': unique per-run ids via
+    # monotonically_increasing_id — survives 10^12-row inputs with no
+    # birthday-collision risk (cluster-id values then vary run-to-run;
+    # membership does not).
+    key_id_mode: str = "hash"
+    # Folded into stage fingerprints so a resume never reuses stages
+    # computed from different input data. Defaults to a fingerprint of
+    # the input's source files + schema (exact for file-backed reads;
+    # callers of in-memory inputs should pass e.g. row count + version).
+    input_fingerprint: Optional[str] = None
 
 
 @dataclass
@@ -158,6 +169,8 @@ class LinkageResult:
     pairs: DataFrame
     clusters: DataFrame
     metrics: Dict[str, Any] = field(default_factory=dict)
+    # The config actually executed — banding resolved (never None).
+    config: Optional[LinkageConfig] = None
 
 
 class StageStore:
@@ -214,26 +227,141 @@ class StageStore:
         return out
 
 
-def _fingerprint(config: LinkageConfig, stage: str) -> str:
+def _input_fingerprint(df: DataFrame) -> str:
+    """Best-effort identity of an input DataFrame: source files + schema.
+
+    Exact for file-backed reads (parquet/csv paths + schema); in-memory
+    inputs have no files, so callers who re-run checkpointed jobs over
+    changing in-memory data should supply
+    ``LinkageConfig.input_fingerprint`` themselves.
+    """
     import hashlib
 
-    relevant = {
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # pragma: no cover - defensive
+        files = []
+    basis = json.dumps(
+        {"files": files, "schema": df.schema.simpleString()},
+        sort_keys=True,
+    )
+    return hashlib.sha256(basis.encode()).hexdigest()[:16]
+
+
+def _secret_fingerprint(secret: Union[str, bytes]) -> str:
+    import hashlib
+
+    raw = secret.encode() if isinstance(secret, str) else bytes(secret)
+    return hashlib.sha256(b"clkhash-spark-secret:" + raw).hexdigest()[:16]
+
+
+# Stage → config fields that affect its OUTPUT (cumulative: a stage's
+# fingerprint covers everything upstream of it, so changing e.g. the
+# threshold invalidates pairs+clusters but keeps clks/blocks resumable).
+_STAGE_FIELDS = {
+    "clks": ("key_col", "feature_cols", "validate"),
+    "blocks": ("num_bands", "bits_per_band", "lsh_seed", "lsh_salt",
+               "max_block_size", "block_cap_mode", "key_id_mode"),
+    "pairs": ("threshold", "min_band_matches"),
+    "clusters": (),
+}
+_STAGE_ORDER = ("clks", "blocks", "pairs", "clusters")
+
+
+def _fingerprint(
+    config: LinkageConfig, stage: str, input_fp: str
+) -> str:
+    """Stage fingerprint: schema + hashed secret + input identity +
+    every config field the stage's output depends on (cumulatively)."""
+    import hashlib
+
+    base_stage = stage.split("_")[0]  # clks_a/clks_b share clks params
+    relevant: Dict[str, Any] = {
         "stage": stage,
         "l": config.schema.l,
         "xor_folds": config.schema.xor_folds,
         "fields": [f.identifier for f in config.schema.fields],
-        "threshold": config.threshold,
-        "num_bands": config.num_bands,
-        "bits_per_band": config.bits_per_band,
-        "min_band_matches": config.min_band_matches,
-        "lsh_seed": config.lsh_seed,
-        "lsh_salt": config.lsh_salt,
-        "max_block_size": config.max_block_size,
-        "cap_mode": config.block_cap_mode,
+        "secret_sha": _secret_fingerprint(config.secret),
+        "input": input_fp,
     }
+    for s in _STAGE_ORDER:
+        for name in _STAGE_FIELDS[s]:
+            value = getattr(config, name)
+            if isinstance(value, tuple):
+                value = list(value)
+            relevant[name] = value
+        if s == base_stage:
+            break
     return hashlib.sha256(
         json.dumps(relevant, sort_keys=True).encode()
     ).hexdigest()[:16]
+
+
+def _resolve_banding(config: LinkageConfig, n_rows: int) -> LinkageConfig:
+    """Fill in auto (None) band geometry from the materialized row count."""
+    import dataclasses
+
+    if config.num_bands is not None and config.bits_per_band is not None:
+        return config
+    tuned = tuned_blocking(
+        max(int(n_rows), 1000),
+        num_bands=config.num_bands or 64,
+        min_band_matches=config.min_band_matches,
+    )
+    return dataclasses.replace(
+        config,
+        num_bands=config.num_bands or tuned["num_bands"],
+        bits_per_band=config.bits_per_band or tuned["bits_per_band"],
+    )
+
+
+class _StageRunner:
+    """Checkpoint-or-persist stage execution shared by the one- and
+    two-party pipelines."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: LinkageConfig,
+        metrics: Dict[str, Any],
+    ) -> None:
+        self.store = (
+            StageStore(spark, config.checkpoint_dir)
+            if config.checkpoint_dir
+            else None
+        )
+        self.resume = config.resume
+        self.metrics = metrics
+
+    def run(self, name: str, fp: str, build) -> DataFrame:
+        if self.store is not None and self.resume and self.store.has(name, fp):
+            self.metrics[f"{name}_resumed"] = True
+            entry = self.store.manifest["stages"][name]
+            self.metrics[f"{name}_rows"] = entry.get("rows")
+            return self.store.read(name)
+        start = time.time()
+        df = build()
+        if self.store is not None:
+            df = self.store.write(name, df, fp)
+            entry = self.store.manifest["stages"][name]
+            self.metrics[f"{name}_rows"] = entry["rows"]
+            self.metrics[f"{name}_seconds"] = entry["seconds"]
+            self.metrics[f"{name}_rows_per_sec"] = entry["rows_per_sec"]
+        else:
+            # No table store: persist + materialize so downstream stages
+            # never recompute this one (lazy evaluation would otherwise
+            # re-run encode once per consumer), and so AQE sees real
+            # sizes (e.g. broadcasting the CLK payload into the pair
+            # join).
+            df = df.persist()
+            rows = df.count()
+            elapsed = time.time() - start
+            self.metrics[f"{name}_rows"] = rows
+            self.metrics[f"{name}_seconds"] = round(elapsed, 3)
+            self.metrics[f"{name}_rows_per_sec"] = (
+                round(rows / elapsed, 1) if elapsed > 0 else None
+            )
+        return df
 
 
 def run_linkage(
@@ -246,44 +374,13 @@ def run_linkage(
     Stages (each checkpointed when ``config.checkpoint_dir`` is set):
     ``clks`` → ``blocks`` → ``pairs`` → ``clusters``.
     """
-    store = (
-        StageStore(spark, config.checkpoint_dir)
-        if config.checkpoint_dir
-        else None
-    )
     metrics: Dict[str, Any] = {}
+    runner = _StageRunner(spark, config, metrics)
+    input_fp = config.input_fingerprint or _input_fingerprint(pages)
 
-    def stage(name: str, build):
-        fp = _fingerprint(config, name)
-        if store is not None and config.resume and store.has(name, fp):
-            metrics[f"{name}_resumed"] = True
-            return store.read(name)
-        start = time.time()
-        df = build()
-        if store is not None:
-            df = store.write(name, df, fp)
-            entry = store.manifest["stages"][name]
-            metrics[f"{name}_rows"] = entry["rows"]
-            metrics[f"{name}_seconds"] = entry["seconds"]
-            metrics[f"{name}_rows_per_sec"] = entry["rows_per_sec"]
-        else:
-            # No table store: persist + materialize so downstream stages
-            # never recompute this one (lazy evaluation would otherwise
-            # re-run encode once per consumer), and so AQE sees real
-            # sizes (e.g. broadcasting the CLK payload into the pair
-            # join).
-            df = df.persist()
-            rows = df.count()
-            elapsed = time.time() - start
-            metrics[f"{name}_rows"] = rows
-            metrics[f"{name}_seconds"] = round(elapsed, 3)
-            metrics[f"{name}_rows_per_sec"] = (
-                round(rows / elapsed, 1) if elapsed > 0 else None
-            )
-        return df
-
-    clks = stage(
+    clks = runner.run(
         "clks",
+        _fingerprint(config, "clks", input_fp),
         lambda: encode_clks(
             pages,
             config.schema,
@@ -294,14 +391,32 @@ def run_linkage(
         ),
     )
 
+    # Band geometry must scale with n (candidate volume grows n²,
+    # true pairs n) — resolve auto settings from the materialized count.
+    n_rows = metrics.get("clks_rows") or clks.count()
+    config = _resolve_banding(config, n_rows)
+    metrics["banding"] = {
+        "num_bands": config.num_bands,
+        "bits_per_band": config.bits_per_band,
+        "min_band_matches": config.min_band_matches,
+        "n_rows": n_rows,
+    }
+
     # Work in an int64 key domain through the shuffle-heavy middle
     # stages: banding, the pair self-join, and the CLK payload joins all
     # move (long, long) rows instead of (long, url-string) — ~2.5x less
     # shuffle volume. URL strings rejoin only on the skinny final pairs.
-    # (xxhash64 collisions across keys are negligible below ~10^9 rows;
-    # beyond that substitute a dense-id assignment join here.)
+    # key_id_mode='hash' (xxhash64) is deterministic and collision-safe
+    # below ~10^9 rows; 'dense' assigns unique per-run ids instead for
+    # the 10^12-row regime.
     kid_col = "_kid"
-    clks_k = clks.withColumn(kid_col, F.xxhash64(F.col(config.key_col)))
+    if config.key_id_mode == "dense":
+        clks_k = clks.withColumn(
+            kid_col, F.monotonically_increasing_id()
+        ).persist()
+        clks_k.count()  # pin ONE id assignment before fan-out
+    else:
+        clks_k = clks.withColumn(kid_col, F.xxhash64(F.col(config.key_col)))
     ids = clks_k.select(kid_col, config.key_col)
 
     def build_blocks() -> DataFrame:
@@ -329,7 +444,9 @@ def run_linkage(
             )
         return blocks
 
-    blocks = stage("blocks", build_blocks)
+    blocks = runner.run(
+        "blocks", _fingerprint(config, "blocks", input_fp), build_blocks
+    )
 
     def build_pairs() -> DataFrame:
         scored = score_candidates(
@@ -364,19 +481,27 @@ def run_linkage(
             )
         )
 
-    pairs = stage("pairs", build_pairs)
+    pairs = runner.run(
+        "pairs", _fingerprint(config, "pairs", input_fp), build_pairs
+    )
 
     def build_clusters() -> DataFrame:
-        components = connected_components(pairs)
+        components = connected_components(
+            pairs, id_assignment=config.key_id_mode
+        )
         return attach_cluster_ids(
-            clks.select(config.key_col), components, key_col=config.key_col
+            clks.select(config.key_col), components,
+            key_col=config.key_col, id_assignment=config.key_id_mode,
         )
 
-    clusters = stage("clusters", build_clusters)
+    clusters = runner.run(
+        "clusters", _fingerprint(config, "clusters", input_fp),
+        build_clusters,
+    )
 
     return LinkageResult(
         clks=clks, blocks=blocks, pairs=pairs, clusters=clusters,
-        metrics=metrics,
+        metrics=metrics, config=config,
     )
 
 
@@ -395,23 +520,46 @@ def run_linkage_two_party(
     values across parties (prefix them if needed). Returns pairs as
     (key_a from party_a, key_b from party_b, score); ``clusters`` holds
     the matched-pair components (useful when one_to_one=False).
+
+    Stage checkpointing/metrics mirror :func:`run_linkage`: stages
+    ``clks_a`` / ``clks_b`` / ``pairs`` / ``clusters`` resume from
+    ``config.checkpoint_dir`` when fingerprints match.
     """
     from .operators.scoring import one_to_one_matching
 
-    def encode(df: DataFrame) -> DataFrame:
-        return encode_clks(
+    metrics: Dict[str, Any] = {}
+    runner = _StageRunner(spark, config, metrics)
+    fp_a = config.input_fingerprint or _input_fingerprint(party_a)
+    fp_b = config.input_fingerprint or _input_fingerprint(party_b)
+    fp_ab = f"{fp_a}+{fp_b}"
+
+    def encode(df: DataFrame):
+        return lambda: encode_clks(
             df,
             config.schema,
             config.secret,
             key_cols=(config.key_col,),
             feature_cols=config.feature_cols,
             validate=config.validate,
-        ).persist()
+        )
 
-    clks_a = encode(party_a)
-    clks_a.count()
-    clks_b = encode(party_b)
-    clks_b.count()
+    clks_a = runner.run(
+        "clks_a", _fingerprint(config, "clks_a", fp_a), encode(party_a)
+    )
+    clks_b = runner.run(
+        "clks_b", _fingerprint(config, "clks_b", fp_b), encode(party_b)
+    )
+
+    n_rows = (metrics.get("clks_a_rows") or clks_a.count()) + (
+        metrics.get("clks_b_rows") or clks_b.count()
+    )
+    config = _resolve_banding(config, n_rows)
+    metrics["banding"] = {
+        "num_bands": config.num_bands,
+        "bits_per_band": config.bits_per_band,
+        "min_band_matches": config.min_band_matches,
+        "n_rows": n_rows,
+    }
 
     def bands(clks: DataFrame) -> DataFrame:
         return block_keys(
@@ -426,28 +574,51 @@ def run_linkage_two_party(
 
     blocks_a = bands(clks_a)
     blocks_b = bands(clks_b)
-    pairs = candidate_pairs(
-        blocks_a, other=blocks_b, key_col=config.key_col,
-        repartition=config.pair_partitions,
-        min_band_matches=config.min_band_matches,
-    )
-    scored = score_candidates(
-        pairs, clks_a, threshold=config.threshold,
-        other_clks=clks_b, key_col=config.key_col,
-    ).persist()
-    scored.count()
-    matched = one_to_one_matching(scored) if one_to_one else scored
 
-    components = connected_components(matched)
-    all_keys = clks_a.select(config.key_col).union(
-        clks_b.select(config.key_col)
+    def build_pairs() -> DataFrame:
+        pairs = candidate_pairs(
+            blocks_a, other=blocks_b, key_col=config.key_col,
+            repartition=config.pair_partitions,
+            min_band_matches=config.min_band_matches,
+        )
+        scored = score_candidates(
+            pairs, clks_a, threshold=config.threshold,
+            other_clks=clks_b, key_col=config.key_col,
+        )
+        if not one_to_one:
+            return scored
+        scored = scored.persist()
+        scored.count()
+        return one_to_one_matching(scored)
+
+    pairs_fp = _fingerprint(
+        config, "pairs", f"{fp_ab}|one_to_one={one_to_one}"
     )
-    clusters = attach_cluster_ids(all_keys, components,
-                                  key_col=config.key_col)
+    matched = runner.run("pairs", pairs_fp, build_pairs)
+
+    def build_clusters() -> DataFrame:
+        components = connected_components(
+            matched, id_assignment=config.key_id_mode
+        )
+        all_keys = clks_a.select(config.key_col).union(
+            clks_b.select(config.key_col)
+        )
+        return attach_cluster_ids(
+            all_keys, components,
+            key_col=config.key_col, id_assignment=config.key_id_mode,
+        )
+
+    clusters = runner.run(
+        "clusters",
+        _fingerprint(config, "clusters", f"{fp_ab}|one_to_one={one_to_one}"),
+        build_clusters,
+    )
+
     return LinkageResult(
         clks=clks_a.unionByName(clks_b),
         blocks=blocks_a.unionByName(blocks_b),
         pairs=matched,
         clusters=clusters,
-        metrics={},
+        metrics=metrics,
+        config=config,
     )

@@ -115,6 +115,7 @@ def small_linkage(spark):
     pages.count()
     config = LinkageConfig(schema=webpages_schema(), secret="test-secret")
     result = run_linkage(spark, pages.select("url", "text"), config)
+    config = result.config  # banding resolved by auto-tuning
     result.clks.cache().count()
     result.pairs.cache().count()
     result.clusters.cache().count()
