@@ -19,8 +19,14 @@ __all__ = [
 
 
 def clk_to_base64(clk: Column) -> Column:
-    """BinaryType CLK → base64 string (reference interchange format)."""
-    return F.base64(clk)
+    """BinaryType CLK → base64 string (reference interchange format).
+
+    Spark's ``base64`` emits MIME-chunked output (CRLF every 76 chars)
+    for inputs longer than 57 bytes — a 1024-bit CLK is 128 bytes, so
+    strip the line breaks to match the reference's unchunked
+    ``base64.b64encode`` (clkhash/serialization.py:11-16).
+    """
+    return F.regexp_replace(F.base64(clk), "[\\r\\n]", "")
 
 
 def base64_to_clk(text: Column) -> Column:
