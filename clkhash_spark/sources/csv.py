@@ -16,6 +16,9 @@ from __future__ import annotations
 
 from typing import List, Union
 
+# Module-top import: pandas_udf type-hint resolution needs `pd` visible
+# in the module globals when `from __future__ import annotations` is on.
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -81,14 +84,21 @@ def read_linkage_csv(
 
 
 def validity_errors(
-    df: DataFrame, schema: Schema, sample: int = 5
+    df: DataFrame,
+    schema: Schema,
+    sample: int = 5,
+    key_col: str = None,
 ) -> List[str]:
-    """Run per-field validation over distinct values; return up to
-    ``sample`` error strings (empty = dataset valid).
+    """Run per-field validation; return up to ``sample`` error strings
+    (empty = dataset valid).
 
     Distributed equivalent of the reference's fail-fast entry validation
-    (clkhash/validate_data.py:44-76): validation logic runs on executors
-    over *distinct* values per field, only failures come back.
+    (clkhash/validate_data.py:44-76): validation runs on executors as an
+    Arrow-batched pandas UDF, only failures come back. Without
+    ``key_col`` it checks *distinct* values per field (cheapest); with
+    ``key_col`` each error also names the offending row's key — the
+    distributed stand-in for the reference EntryError's row index, which
+    is partition-relative (meaningless) on a parallel scan.
     """
     from pyspark.sql.types import BooleanType
 
@@ -96,25 +106,36 @@ def validity_errors(
     for field in schema.fields:
         if field.hash_spec is None:
             continue
-        fld = field
 
-        @F.udf(BooleanType())
-        def is_valid(value, fld=fld):
-            try:
-                fld.validate("" if value is None else str(value))
-                return True
-            except Exception:
-                return False
+        def make_validator(fld):
+            @F.pandas_udf(BooleanType())
+            def is_valid(values: pd.Series) -> pd.Series:
+                def check(v):
+                    try:
+                        fld.validate("" if v is None else str(v))
+                        return True
+                    except Exception:
+                        return False
 
+                return values.map(check)
+
+            return is_valid
+
+        is_valid = make_validator(field)
+        source = df.select(
+            F.col(field.identifier).alias("v"),
+            *([F.col(key_col).alias("k")] if key_col else []),
+        )
+        if not key_col:
+            source = source.distinct()
         bad = (
-            df.select(F.col(field.identifier).alias("v"))
-            .distinct()
-            .where(~is_valid(F.col("v")))
+            source.where(~is_valid(F.col("v")))
             .limit(sample)
             .collect()
         )
         errors.extend(
             f"field {field.identifier!r}: invalid value {r['v']!r}"
+            + (f" (key={r['k']!r})" if key_col else "")
             for r in bad
         )
         if len(errors) >= sample:

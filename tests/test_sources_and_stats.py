@@ -89,6 +89,11 @@ class TestCsvSource:
         assert "not-a-date" in text
         # 'Al' violates minLength 3; 'X' violates the enum.
         assert "'Al'" in text or "'X'" in text
+        # With key_col, each error names the offending row's key (the
+        # distributed stand-in for the reference EntryError row index).
+        keyed = validity_errors(df, names_schema, key_col="INDEX")
+        keyed_text = "\n".join(keyed)
+        assert "not-a-date" in keyed_text and "key='1'" in keyed_text
 
 
 class TestRandomNames:
