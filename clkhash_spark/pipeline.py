@@ -155,6 +155,9 @@ class LinkageConfig:
     # birthday-collision risk (cluster-id values then vary run-to-run;
     # membership does not).
     key_id_mode: str = "hash"
+    # Record the log2 block-size histogram (the skew observable) in
+    # metrics — one extra aggregate over the banded rows.
+    block_histogram: bool = False
     # Folded into stage fingerprints so a resume never reuses stages
     # computed from different input data. Defaults to a fingerprint of
     # the input's source files + schema (exact for file-backed reads;
@@ -333,7 +336,7 @@ class _StageRunner:
         self.resume = config.resume
         self.metrics = metrics
 
-    def run(self, name: str, fp: str, build) -> DataFrame:
+    def run(self, name: str, fp: str, build, parents=()) -> DataFrame:
         if self.store is not None and self.resume and self.store.has(name, fp):
             self.metrics[f"{name}_resumed"] = True
             entry = self.store.manifest["stages"][name]
@@ -344,6 +347,16 @@ class _StageRunner:
         if self.store is not None:
             df = self.store.write(name, df, fp)
             entry = self.store.manifest["stages"][name]
+            # Lineage: which upstream snapshots this one was derived
+            # from (their fingerprints at write time) — the audit trail
+            # an Iceberg snapshot chain would carry.
+            entry["lineage"] = {
+                p: self.store.manifest["stages"]
+                .get(p, {})
+                .get("fingerprint")
+                for p in parents
+            }
+            self.store._save_manifest()
             self.metrics[f"{name}_rows"] = entry["rows"]
             self.metrics[f"{name}_seconds"] = entry["seconds"]
             self.metrics[f"{name}_rows_per_sec"] = entry["rows_per_sec"]
@@ -442,10 +455,16 @@ def run_linkage(
             metrics["block_cap_accounting"] = (
                 accounting.first().asDict()
             )
+        if config.block_histogram:
+            metrics["block_size_histogram"] = {
+                int(r["log2_size"]): int(r["num_blocks"])
+                for r in block_size_histogram(blocks).collect()
+            }
         return blocks
 
     blocks = runner.run(
-        "blocks", _fingerprint(config, "blocks", input_fp), build_blocks
+        "blocks", _fingerprint(config, "blocks", input_fp), build_blocks,
+        parents=("clks",),
     )
 
     def build_pairs() -> DataFrame:
@@ -482,7 +501,8 @@ def run_linkage(
         )
 
     pairs = runner.run(
-        "pairs", _fingerprint(config, "pairs", input_fp), build_pairs
+        "pairs", _fingerprint(config, "pairs", input_fp), build_pairs,
+        parents=("clks", "blocks"),
     )
 
     def build_clusters() -> DataFrame:
@@ -496,7 +516,7 @@ def run_linkage(
 
     clusters = runner.run(
         "clusters", _fingerprint(config, "clusters", input_fp),
-        build_clusters,
+        build_clusters, parents=("pairs",),
     )
 
     return LinkageResult(
@@ -594,7 +614,9 @@ def run_linkage_two_party(
     pairs_fp = _fingerprint(
         config, "pairs", f"{fp_ab}|one_to_one={one_to_one}"
     )
-    matched = runner.run("pairs", pairs_fp, build_pairs)
+    matched = runner.run(
+        "pairs", pairs_fp, build_pairs, parents=("clks_a", "clks_b")
+    )
 
     def build_clusters() -> DataFrame:
         components = connected_components(
@@ -611,7 +633,7 @@ def run_linkage_two_party(
     clusters = runner.run(
         "clusters",
         _fingerprint(config, "clusters", f"{fp_ab}|one_to_one={one_to_one}"),
-        build_clusters,
+        build_clusters, parents=("pairs",),
     )
 
     return LinkageResult(
