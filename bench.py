@@ -35,6 +35,7 @@ def main() -> None:
         q_doc_minhash_pairs,
         q_doc_quality_scores,
         q_emb_topk,
+        q_local_supplier_revenue,
     )
     from clkhash_spark.operators.encode import encode_clks
     from clkhash_spark.operators.evaluate import (
@@ -121,6 +122,10 @@ def main() -> None:
         lambda: force(q_doc_quality_scores(spark, SF_DIR)),
     )
     timed("emb_topk", lambda: force(q_emb_topk(spark, SF_DIR)))
+    timed(
+        "local_supplier_revenue",
+        lambda: force(q_local_supplier_revenue(spark, SF_DIR)),
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -10,19 +10,31 @@ directory) with exactly-once sinks via checkpointing.
 Blocking/scoring/clustering stay batch jobs over the accumulated CLK
 table — pairwise linkage is a global computation with no event-time
 windowing semantics to exploit.
+
+:func:`streaming_exact_dedup` adds the custom *stateful* streaming
+operator a training-data ingest pipeline needs: first-seen wins
+dedup across micro-batches via ``applyInPandasWithState`` (per-digest
+state, optional TTL so state is bounded at 100 TB ingest).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Iterator, Optional, Sequence, Union
 
+import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .core.schema import Schema
 from .operators.encode import encode_clks
 
-__all__ = ["encode_clks_stream", "start_encode_stream"]
+__all__ = [
+    "encode_clks_stream",
+    "start_encode_stream",
+    "streaming_exact_dedup",
+]
 
 
 def encode_clks_stream(
@@ -46,6 +58,85 @@ def encode_clks_stream(
     return encode_clks(
         stream_df, schema, secret,
         key_cols=key_cols, feature_cols=feature_cols,
+    )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    state_ttl_minutes: Optional[int] = None,
+) -> DataFrame:
+    """First-seen-wins exact dedup across micro-batches (stateful).
+
+    Custom stateful streaming operator via ``applyInPandasWithState``:
+    groups by the md5 of normalized text, keeps one boolean per digest
+    in the state store, and emits only the first row ever seen for each
+    digest (within a batch, the smallest key wins — deterministic).
+    State survives restarts through the query checkpoint, so a resumed
+    ingest never re-emits old documents.
+
+    Scale notes: state is one boolean per *distinct* document digest,
+    hash-partitioned across executors by the groupBy — the same shuffle
+    key layout as the batch ``exact_duplicates``. ``state_ttl_minutes``
+    bounds the store for unbounded crawls (a digest not seen for the
+    TTL is forgotten and would be re-emitted — the standard
+    freshness/memory trade).
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .operators.dedup import normalized_text
+
+    keyed = stream_df.select(
+        F.md5(normalized_text(F.col(text_col))).alias("text_md5"),
+        F.col(key_col),
+        F.col(text_col),
+    )
+    out_schema = StructType(
+        [
+            StructField("text_md5", StringType(), False),
+            keyed.schema[key_col],
+            keyed.schema[text_col],
+        ]
+    )
+    state_schema = StructType([StructField("seen", BooleanType(), False)])
+    ttl_ms = (
+        int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
+    )
+
+    def dedup_fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            # Digest already emitted in an earlier batch; refresh TTL.
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        rows = pd.concat(batches, ignore_index=True)
+        first = rows.sort_values(key_col, kind="stable").iloc[[0]]
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield first
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        dedup_fn, out_schema, state_schema, "append", timeout
     )
 
 
