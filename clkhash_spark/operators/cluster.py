@@ -40,6 +40,35 @@ def _persist(df: DataFrame, reliable: bool) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _materialize_with_checksum(
+    df: DataFrame, reliable: bool
+) -> Tuple[DataFrame, Tuple[int, int]]:
+    """Checkpoint + convergence checksum in ONE Spark job.
+
+    A non-eager (local)checkpoint materializes during the ``count``
+    action, and an ``Observation`` rides the same action to collect the
+    edge-set checksum — halving the per-round job count vs the old
+    eager-checkpoint-then-aggregate pair (per-round driver latency is
+    what dominates clustering wall time at small scale)."""
+    from pyspark.sql import Observation
+
+    base = df.checkpoint(eager=False) if reliable else df.localCheckpoint(
+        eager=False
+    )
+    obs = Observation()
+    out = base.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        # mod 2^31 per row so the sum can never overflow a long
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31))), F.lit(0)
+        ).alias("h"),
+    )
+    out.count()
+    metrics = obs.get
+    return out, (int(metrics["n"]), int(metrics["h"]))
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Attach strictly-larger neighbours to min(Γ(u) ∪ {u})."""
     sym = edges.select("u", "v").union(
@@ -155,13 +184,12 @@ def connected_components(
             .select("key", vertex("key").alias("id"))
         )
 
-    edges = _persist(edges, reliable)
-
-    signature = _checksum(edges)
+    edges, signature = _materialize_with_checksum(edges, reliable)
     converged = False
     for _ in range(max_iterations):
-        edges = _persist(_small_star(_large_star(edges)), reliable)
-        new_signature = _checksum(edges)
+        edges, new_signature = _materialize_with_checksum(
+            _small_star(_large_star(edges)), reliable
+        )
         if new_signature == signature:
             converged = True
             break
