@@ -8,7 +8,7 @@ match at threshold 0.8 with 1-1 solving. Ground truth: the two files
 share exactly 500 rec_id values.
 
 Two deliberate deviations from the tutorial's exact settings, both
-load-bearing:
+load-bearing (see clkhash_spark/sources/febrl.py):
 
 - 100 bits/feature instead of 300: 9 features x 300 bits saturates a
   1024-bit CLK (fill ~0.9), compressing unrelated-pair Dice to ~0.94.
@@ -27,90 +27,36 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from clkhash_spark.core.schema import from_json_dict
 from clkhash_spark.pipeline import LinkageConfig, run_linkage_two_party
-
-TESTDATA = "/root/reference/tests/testdata"
+from clkhash_spark.sources.febrl import (
+    FEBRL_FEATURES,
+    FEBRL_TESTDATA,
+    febrl_schema,
+    load_febrl_party,
+)
 
 pytestmark = [
     pytest.mark.spark,
     pytest.mark.skipif(
-        not os.path.isdir(TESTDATA), reason="reference corpus not available"
+        not os.path.isdir(FEBRL_TESTDATA),
+        reason="reference corpus not available",
     ),
 ]
-
-STRING_FIELDS = ["given_name", "surname", "address_1", "address_2",
-                 "suburb", "state"]
-INTEGER_FIELDS = ["street_number", "postcode", "date_of_birth"]
-FEATURES = STRING_FIELDS[:2] + INTEGER_FIELDS[:1] + STRING_FIELDS[2:5] + [
-    INTEGER_FIELDS[1]] + [STRING_FIELDS[5]] + [INTEGER_FIELDS[2]]
-# tutorial order: given_name surname street_number address_1 address_2
-# suburb postcode state date_of_birth
-
-
-def febrl_schema():
-    def string_feature(name):
-        return {
-            "identifier": name,
-            "format": {"type": "string", "encoding": "utf-8"},
-            "hashing": {
-                "comparison": {"type": "ngram", "n": 2},
-                "strategy": {"bitsPerFeature": 100},
-                "hash": {"type": "doubleHash"},
-            },
-        }
-
-    def integer_feature(name):
-        return {
-            "identifier": name,
-            "format": {"type": "string", "encoding": "utf-8"},
-            "hashing": {
-                "comparison": {"type": "ngram", "n": 1, "positional": True},
-                "strategy": {"bitsPerFeature": 100},
-                "hash": {"type": "doubleHash"},
-                "missingValue": {"sentinel": ""},
-            },
-        }
-
-    features = [
-        string_feature(f) if f in STRING_FIELDS else integer_feature(f)
-        for f in FEATURES
-    ]
-    return from_json_dict(
-        {
-            "version": 3,
-            "clkConfig": {
-                "l": 1024,
-                "kdf": {"type": "HKDF", "hash": "SHA256", "keySize": 64},
-            },
-            "features": features,
-        }
-    )
-
-
-def load_party(spark, path, prefix):
-    df = spark.read.csv(path, header=True)
-    cols = [F.trim(F.coalesce(F.col(c), F.lit(""))).alias(c)
-            for c in FEATURES]
-    return df.select(
-        F.concat(F.lit(prefix), F.trim(F.col("rec_id"))).alias("key"),
-        *cols,
-    )
 
 
 class TestFebrlTwoParty:
     def test_tutorial_quality_ballpark(self, spark):
-        a = load_party(
-            spark, os.path.join(TESTDATA, "dirty_1000_50_1.csv"), "a:"
+        a = load_febrl_party(
+            spark, os.path.join(FEBRL_TESTDATA, "dirty_1000_50_1.csv"), "a:"
         )
-        b = load_party(
-            spark, os.path.join(TESTDATA, "dirty_1000_50_2.csv"), "b:"
+        b = load_febrl_party(
+            spark, os.path.join(FEBRL_TESTDATA, "dirty_1000_50_2.csv"), "b:"
         )
         config = LinkageConfig(
             schema=febrl_schema(),
             secret="febrl-secret",
             key_col="key",
-            feature_cols=FEATURES,
+            feature_cols=list(FEBRL_FEATURES),
             threshold=0.8,
             num_bands=64,
             bits_per_band=8,

@@ -230,7 +230,109 @@ def write_linkage_expectations() -> None:
     print("wrote clk_linkage_clusters.parquet / clk_linkage_f1.parquet")
 
 
+def _febrl_rows(path):
+    """Replicate sources/febrl.load_febrl_party semantics in pure
+    Python: trim ASCII spaces (Spark F.trim), missing -> ''."""
+    import csv
+
+    from clkhash_spark.sources.febrl import FEBRL_FEATURES
+
+    rows = []
+    with open(path, newline="") as fp:
+        for rec in csv.DictReader(fp):
+            key = rec["rec_id"].strip(" ")
+            rows.append(
+                (key, [(rec.get(f) or "").strip(" ")
+                       for f in FEBRL_FEATURES])
+            )
+    return rows
+
+
+def write_febrl_expectations() -> None:
+    """Brute-force (LSH-free, Spark-free) two-party mutual-best matching
+    from scalar CLKs; cross-checked against the live pipeline."""
+    from clkhash_spark.core import generate_key_lists
+    from clkhash_spark.core.hashing import encode_record
+    from clkhash_spark.entry_queries import q_clk_febrl_two_party
+    from clkhash_spark.session import build_session
+    from clkhash_spark.sources.febrl import FEBRL_TESTDATA, febrl_schema
+
+    threshold = 0.8
+    schema = febrl_schema()
+    keys = generate_key_lists(
+        SECRET, len(schema.fields), key_size=schema.kdf_key_size,
+        salt=schema.kdf_salt, info=schema.kdf_info, kdf=schema.kdf_type,
+        hash_algo=schema.kdf_hash,
+    )
+
+    def encode_party(name):
+        rows = _febrl_rows(os.path.join(FEBRL_TESTDATA, name))
+        ids = [k for k, _ in rows]
+        out = [encode_record(vals, schema, keys) for _, vals in rows]
+        n = len(rows)
+        bits = np.unpackbits(
+            np.frombuffer(b"".join(p for p, _ in out), dtype=np.uint8)
+        ).reshape(n, -1).astype(np.float32)
+        pops = np.array([c for _, c in out], dtype=np.float64)
+        return ids, bits, pops
+
+    ids_a, bits_a, pops_a = encode_party("dirty_1000_50_1.csv")
+    ids_b, bits_b, pops_b = encode_party("dirty_1000_50_2.csv")
+    inter = bits_a @ bits_b.T
+    denom = pops_a[:, None] + pops_b[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dice = np.where(denom > 0, 2.0 * inter / denom, 0.0)
+    eligible = dice >= threshold
+    # mutual best among eligible pairs; ties break toward the smaller
+    # other-side key (mirrors scoring.one_to_one_matching)
+    order_b = np.argsort(ids_b)
+    order_a = np.argsort(ids_a)
+    pairs = []
+    masked = np.where(eligible, dice, -1.0)
+    for i in range(len(ids_a)):
+        cand = masked[i]
+        if cand.max() < 0:
+            continue
+        best = cand.max()
+        js = [j for j in order_b if cand[j] == best]
+        j = js[0]
+        col = masked[:, j]
+        best_col = col.max()
+        iis = [x for x in order_a if col[x] == best_col]
+        if iis[0] == i:
+            pairs.append((ids_a[i], ids_b[j], round(float(dice[i, j]), 6)))
+
+    spark = build_session(app_name="gen-expected-febrl", cores=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    live = {
+        (r["id_a"], r["id_b"], round(r["score"], 6))
+        for r in q_clk_febrl_two_party(spark, "").collect()
+    }
+    spark.stop()
+    if live != set(pairs):
+        print("MISMATCH pipeline vs brute-force FEBRL matching:")
+        print("  only brute-force:", sorted(set(pairs) - live)[:5])
+        print("  only pipeline:   ", sorted(live - set(pairs))[:5])
+        raise SystemExit(1)
+    tp = sum(1 for a, b, _ in pairs if a == b)
+    print(f"FEBRL pipeline == brute-force: {len(pairs)} pairs, "
+          f"{tp} true (truth=500)")
+    pairs.sort()
+    pq.write_table(
+        pa.table(
+            {
+                "id_a": pa.array([p[0] for p in pairs], pa.string()),
+                "id_b": pa.array([p[1] for p in pairs], pa.string()),
+                "score": pa.array([p[2] for p in pairs], pa.float64()),
+            }
+        ),
+        os.path.join(EXPECTED_DIR, "clk_febrl_pairs.parquet"),
+    )
+    print("wrote clk_febrl_pairs.parquet")
+
+
 if __name__ == "__main__":
     os.makedirs(EXPECTED_DIR, exist_ok=True)
     write_encode_expectations()
     write_linkage_expectations()
+    write_febrl_expectations()
