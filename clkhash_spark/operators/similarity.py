@@ -218,6 +218,56 @@ def lsh_topk(
     )
 
 
+def fixed_integer_centroids(
+    num_centroids: int, dim: int, seed: int = 42
+) -> list:
+    """Seeded integer-valued coarse-quantizer centroids (sha256-derived,
+    components in [-128, 127]) — a data-independent IVF cell layout any
+    engine (or a SQL oracle) reproduces exactly. Used for the
+    oracle-checkable cell-assignment query; the data-adaptive
+    :func:`kmeans_centroids` is the production quantizer."""
+    import hashlib
+
+    cents = []
+    for c in range(num_centroids):
+        row = []
+        for d in range(dim):
+            digest = hashlib.sha256(
+                f"clkhash-spark-ivf:{seed}:{c}:{d}".encode()
+            ).digest()
+            row.append(digest[0] - 128)
+        cents.append(row)
+    return cents
+
+
+def ivf_cell_fixed(
+    vectors: DataFrame,
+    num_centroids: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its fixed-integer-centroid cell (1-based),
+    argmax of the quantized integer dot — bit-exact across engines;
+    ties break to the lowest cell index (first max)."""
+    cents = fixed_integer_centroids(num_centroids, dim, seed)
+    qvec = _quantize(F.col(vec_col))
+    dots = []
+    for row in cents:
+        plane = F.array(*[F.lit(c).cast("long") for c in row])
+        dots.append(
+            F.aggregate(
+                F.zip_with(qvec, plane, lambda x, c: x * c),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    arr = F.array(*dots)
+    cell = F.array_position(arr, F.array_max(arr))
+    return vectors.select(F.col(key_col), cell.alias("cell"))
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     num_centroids: int = 16,
