@@ -1,0 +1,100 @@
+"""Property tests (no Spark) for the round-2 scaling laws and stage
+fingerprints."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clkhash_spark.pipeline import (
+    LinkageConfig,
+    _fingerprint,
+    _resolve_banding,
+    _secret_fingerprint,
+    tuned_blocking,
+    webpages_schema,
+)
+
+
+class TestTunedBlockingLaw:
+    @given(n=st.integers(min_value=1_000, max_value=10**12))
+    @settings(max_examples=200, deadline=None)
+    def test_invariants(self, n):
+        t = tuned_blocking(n)
+        assert 14 <= t["bits_per_band"] <= 48
+        assert t["num_bands"] in (64, 128, 256, 512)
+        assert t["predicted_recall"] >= 0.995
+        assert t["min_band_matches"] == 2
+
+    @given(
+        n=st.integers(min_value=1_000, max_value=10**11),
+        factor=st.integers(min_value=2, max_value=100),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_bits_monotone_in_n(self, n, factor):
+        assert (
+            tuned_blocking(n * factor)["bits_per_band"]
+            >= tuned_blocking(n)["bits_per_band"]
+        )
+
+    def test_resolve_banding_fills_only_none(self):
+        schema = webpages_schema()
+        auto = _resolve_banding(
+            LinkageConfig(schema=schema, secret="s"), 600_000
+        )
+        assert auto.num_bands is not None
+        assert auto.bits_per_band == tuned_blocking(600_000)["bits_per_band"]
+        pinned = _resolve_banding(
+            LinkageConfig(schema=schema, secret="s",
+                          num_bands=32, bits_per_band=19),
+            600_000,
+        )
+        assert (pinned.num_bands, pinned.bits_per_band) == (32, 19)
+
+
+class TestStageFingerprints:
+    def _config(self, **kw):
+        return LinkageConfig(schema=webpages_schema(), secret="s", **kw)
+
+    def test_secret_never_appears_raw(self):
+        fp = _secret_fingerprint("hunter2-super-secret")
+        assert "hunter2" not in fp
+        assert _fingerprint(self._config(), "clks", "in") != "hunter2"
+
+    def test_threshold_only_invalidates_downstream(self):
+        a = self._config(threshold=0.75, num_bands=64, bits_per_band=20)
+        b = self._config(threshold=0.9, num_bands=64, bits_per_band=20)
+        for stage in ("clks", "blocks"):
+            assert _fingerprint(a, stage, "in") == _fingerprint(b, stage, "in")
+        for stage in ("pairs", "clusters"):
+            assert _fingerprint(a, stage, "in") != _fingerprint(b, stage, "in")
+
+    def test_banding_invalidates_blocks_not_clks(self):
+        a = self._config(num_bands=64, bits_per_band=20)
+        b = self._config(num_bands=128, bits_per_band=20)
+        assert _fingerprint(a, "clks", "in") == _fingerprint(b, "clks", "in")
+        assert _fingerprint(a, "blocks", "in") != _fingerprint(b, "blocks", "in")
+
+    def test_secret_and_input_invalidate_everything(self):
+        base = self._config(num_bands=64, bits_per_band=20)
+        other_secret = LinkageConfig(
+            schema=webpages_schema(), secret="t",
+            num_bands=64, bits_per_band=20,
+        )
+        for stage in ("clks", "blocks", "pairs", "clusters"):
+            assert (
+                _fingerprint(base, stage, "in")
+                != _fingerprint(other_secret, stage, "in")
+            )
+            assert (
+                _fingerprint(base, stage, "in")
+                != _fingerprint(base, stage, "other-input")
+            )
+
+    def test_two_party_stage_names_share_clks_params(self):
+        base = self._config(num_bands=64, bits_per_band=20)
+        changed = self._config(num_bands=128, bits_per_band=20)
+        # clks_a maps onto the clks param set -> banding must not
+        # invalidate it
+        assert (
+            _fingerprint(base, "clks_a", "in")
+            == _fingerprint(changed, "clks_a", "in")
+        )
