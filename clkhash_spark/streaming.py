@@ -82,6 +82,10 @@ def streaming_exact_dedup(
     bounds the store for unbounded crawls (a digest not seen for the
     TTL is forgotten and would be re-emitted — the standard
     freshness/memory trade).
+
+    TTL is for *continuous* queries only: ProcessingTimeTimeout keeps
+    an ``availableNow`` drain alive servicing pending timers, so
+    batch-style catch-up runs should pass ``state_ttl_minutes=None``.
     """
     from pyspark.sql.types import (
         BooleanType,

@@ -3,9 +3,13 @@
 Two sequential availableNow file-source queries share one checkpoint:
 the second run's state store remembers digests emitted by the first, so
 a duplicate arriving in a later batch is suppressed — first-seen-wins
-across restarts. The queries run with a state TTL configured, which
-also exercises the ProcessingTimeTimeout path (TTL >> test runtime, so
-nothing expires)."""
+across restarts.
+
+TTL is NOT enabled here: ProcessingTimeTimeout keeps an availableNow
+query alive servicing pending timers (measured: a 60-minute TTL makes
+awaitTermination block for minutes to forever), so the TTL option is
+for continuous queries only — see streaming_exact_dedup's docstring.
+The TTL plan still gets built/validated below without being run."""
 
 import os
 
@@ -24,7 +28,7 @@ def _write_batch(spark, path, rows):
 
 def _drain(spark, src_dir, out_dir, ckpt_dir, read_schema):
     stream = spark.readStream.schema(read_schema).parquet(src_dir)
-    deduped = streaming_exact_dedup(stream, state_ttl_minutes=60)
+    deduped = streaming_exact_dedup(stream, state_ttl_minutes=None)
     q = (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)
@@ -33,7 +37,9 @@ def _drain(spark, src_dir, out_dir, ckpt_dir, read_schema):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()  # availableNow terminates deterministically
+    # availableNow + NoTimeout terminates once the backlog drains;
+    # bound the wait so a regression fails fast instead of hanging.
+    assert q.awaitTermination(180), "stream did not drain in time"
 
 
 class TestStreamingDedup:
@@ -62,3 +68,16 @@ class TestStreamingDedup:
         _drain(spark, src, out, ckpt, schema)
         all_out = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert all_out == {"a1", "b1", "c1"}  # a3 suppressed by state
+
+    def test_ttl_plan_builds(self, spark, tmp_path):
+        # TTL wires ProcessingTimeTimeout into the plan; building (not
+        # running) it validates schema/state plumbing — running it under
+        # availableNow would keep the query alive for its timers.
+        src = str(tmp_path / "src2")
+        os.makedirs(src, exist_ok=True)
+        _write_batch(spark, src, [("x", "y")])
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = streaming_exact_dedup(stream, state_ttl_minutes=10)
+        assert deduped.isStreaming
+        assert set(deduped.columns) == {"text_md5", "doc_id", "text"}
