@@ -78,10 +78,14 @@ def pairwise_metrics(
         if (precision + recall)
         else 0.0
     )
+    # Counts stay ints (BIGINT downstream): Spark infers LongType from
+    # Python ints, matching the committed expected-parquet representation.
+    # Floats here previously made the driver's raw-value hash diverge
+    # (600.0 vs 600) even though the values were bit-identical.
     return {
-        "tp": float(tp),
-        "predicted": float(num_predicted),
-        "truth": float(num_truth),
+        "tp": int(tp),
+        "predicted": int(num_predicted),
+        "truth": int(num_truth),
         "precision": precision,
         "recall": recall,
         "f1": f1,

@@ -22,17 +22,28 @@ TABLES = (
 
 
 def normalize(rows, columns):
+    """Type-strict normalization: the driver hashes raw values, so a
+    DoubleType 600.0 and a BIGINT 600 must NOT normalize to the same
+    token (that exact masking cost a round — VERDICT r2). Floats keep a
+    float-shaped token ("600.0"), ints stay bare ("600")."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
         vals = []
         for i in order:
             v = row[i]
-            if isinstance(v, float):
+            if isinstance(v, bool):
+                v = f"bool:{v}"
+            elif isinstance(v, float):
                 if math.isnan(v):
-                    v = "nan"
+                    v = "float:nan"
                 else:
-                    v = f"{v:.9g}"
+                    s = f"{v:.9g}"
+                    if "." not in s and "e" not in s and "n" not in s:
+                        s += ".0"
+                    v = f"float:{s}"
+            elif isinstance(v, int):
+                v = f"int:{v}"
             vals.append(str(v))
         out.append(tuple(vals))
     out.sort()
