@@ -187,7 +187,16 @@ def cap_block_size(
 
     salt_source = split_salt_col or key_cols[0]
     num_splits = F.ceil(F.col("_block_size") / F.lit(max_block_size))
-    sub_block = F.pmod(F.xxhash64(F.col(salt_source)), num_splits)
+    # Salt by (block_key, record key), not the record key alone: the
+    # block key embeds the band index, so a pair separated by the split
+    # in one band lands together with probability ~1/num_splits in each
+    # OTHER oversized band independently — which is exactly the graceful
+    # recall degradation this function promises. Hashing only the record
+    # key would put a pair in the same sub-block in every band or in
+    # none, turning the cap into an all-bands pair drop.
+    sub_block = F.pmod(
+        F.xxhash64(F.col(block_col), F.col(salt_source)), num_splits
+    )
     # Collision-free rekey: any int64 is a valid block key, so hash
     # (block, sub_block) instead of packing the sub-block id into high
     # bits arithmetically — the additive form overflowed int64 (ANSI

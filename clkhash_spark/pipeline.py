@@ -266,14 +266,19 @@ def _secret_fingerprint(secret: Union[str, bytes]) -> str:
 # Stage → config fields that affect its OUTPUT (cumulative: a stage's
 # fingerprint covers everything upstream of it, so changing e.g. the
 # threshold invalidates pairs+clusters but keeps clks/blocks resumable).
+# "kids" is the dense-mode key↔id map: persisting it as its own stage is
+# what makes _kid-bearing downstream stages (blocks/pairs) safe to
+# resume — monotonically_increasing_id values are per-run, so the map
+# MUST be read back from the store rather than re-derived on resume.
 _STAGE_FIELDS = {
     "clks": ("key_col", "feature_cols", "validate"),
+    "kids": ("key_id_mode",),
     "blocks": ("num_bands", "bits_per_band", "lsh_seed", "lsh_salt",
-               "max_block_size", "block_cap_mode", "key_id_mode"),
+               "max_block_size", "block_cap_mode"),
     "pairs": ("threshold", "min_band_matches"),
     "clusters": (),
 }
-_STAGE_ORDER = ("clks", "blocks", "pairs", "clusters")
+_STAGE_ORDER = ("clks", "kids", "blocks", "pairs", "clusters")
 
 
 def _fingerprint(
@@ -429,13 +434,27 @@ def run_linkage(
     # the 10^12-row regime.
     kid_col = "_kid"
     if config.key_id_mode == "dense":
-        clks_k = clks.withColumn(
-            kid_col, F.monotonically_increasing_id()
-        ).persist()
-        clks_k.count()  # pin ONE id assignment before fan-out
+        # Dense ids come from monotonically_increasing_id, which is
+        # PER-RUN (partition-layout dependent) — so the key↔id map is
+        # itself a checkpointed stage: a resumed 'blocks'/'pairs' table
+        # stores _kid values and would silently join wrong against a
+        # fresh assignment. Reading the map back from the store (or
+        # pinning it via persist+count when there is no store) keeps
+        # every _kid consumer on ONE assignment.
+        def build_kids() -> DataFrame:
+            return clks.select(config.key_col).withColumn(
+                kid_col, F.monotonically_increasing_id()
+            )
+
+        kids = runner.run(
+            "kids", _fingerprint(config, "kids", input_fp), build_kids,
+            parents=("clks",),
+        )
+        clks_k = clks.join(kids, on=config.key_col).persist()
+        ids = kids.select(kid_col, config.key_col)
     else:
         clks_k = clks.withColumn(kid_col, F.xxhash64(F.col(config.key_col)))
-    ids = clks_k.select(kid_col, config.key_col)
+        ids = clks_k.select(kid_col, config.key_col)
 
     def build_blocks() -> DataFrame:
         blocks = block_keys(
@@ -547,8 +566,12 @@ def run_linkage_two_party(
     the matched-pair components (useful when one_to_one=False).
 
     Stage checkpointing/metrics mirror :func:`run_linkage`: stages
-    ``clks_a`` / ``clks_b`` / ``pairs`` / ``clusters`` resume from
-    ``config.checkpoint_dir`` when fingerprints match.
+    ``clks_a`` / ``clks_b`` / ``blocks`` / ``pairs`` / ``clusters``
+    (plus ``kids_a``/``kids_b`` under ``key_id_mode='dense'``) resume
+    from ``config.checkpoint_dir`` when fingerprints match. Banding,
+    skew capping (``max_block_size``), and the pair join all run in the
+    same int64 ``_kid`` domain as the single-table pipeline, with the
+    party carried in the kid's sign bit.
     """
     from .operators.scoring import one_to_one_matching
 
@@ -586,6 +609,45 @@ def run_linkage_two_party(
         "n_rows": n_rows,
     }
 
+    # Same int64 key-id domain as run_linkage — the shuffle-heavy middle
+    # (banding, the cross-party block join, the CLK payload joins) moves
+    # (long, long) rows, never (long, url-string). The party rides in
+    # the SIGN BIT of the kid (A ≥ 0, B < 0): cross-party pair selection
+    # is then a free sign predicate on the unioned capped blocks, and
+    # the skew cap sees both parties' contribution to a hot block at
+    # once (a boilerplate mega-block is a JOINT phenomenon — capping
+    # per-party would under-count its s_a × s_b pair volume).
+    kid_col = "_kid"
+    party_b_tag = F.lit(-(1 << 63))
+
+    def with_kids(
+        clks: DataFrame, stage: str, input_fp: str, is_b: bool
+    ) -> DataFrame:
+        if config.key_id_mode == "dense":
+            # Per-run ids → checkpoint the key↔id map itself (see
+            # run_linkage) so resumed _kid-bearing stages stay joinable.
+            def build_kids() -> DataFrame:
+                kid = F.monotonically_increasing_id()
+                if is_b:
+                    kid = kid.bitwiseOR(party_b_tag)
+                return clks.select(config.key_col).withColumn(kid_col, kid)
+
+            kids = runner.run(
+                stage, _fingerprint(config, stage, input_fp), build_kids,
+                parents=(stage.replace("kids", "clks"),),
+            )
+            return clks.join(kids, on=config.key_col).persist()
+        # 63-bit deterministic hash, party tag in the sign bit.
+        kid = F.shiftrightunsigned(F.xxhash64(F.col(config.key_col)), 1)
+        if is_b:
+            kid = kid.bitwiseOR(party_b_tag)
+        return clks.withColumn(kid_col, kid)
+
+    clks_ka = with_kids(clks_a, "kids_a", fp_a, is_b=False)
+    clks_kb = with_kids(clks_b, "kids_b", fp_b, is_b=True)
+    ids_a = clks_ka.select(kid_col, config.key_col)
+    ids_b = clks_kb.select(kid_col, config.key_col)
+
     def bands(clks: DataFrame) -> DataFrame:
         return block_keys(
             clks,
@@ -594,21 +656,64 @@ def run_linkage_two_party(
             bits_per_band=config.bits_per_band,
             seed=config.lsh_seed,
             salt=config.lsh_salt,
-            key_cols=(config.key_col,),
+            key_cols=(kid_col,),
         )
 
-    blocks_a = bands(clks_a)
-    blocks_b = bands(clks_b)
+    def build_blocks() -> DataFrame:
+        blocks = bands(clks_ka).unionByName(bands(clks_kb))
+        if config.max_block_size:
+            blocks = blocks.persist()
+            blocks, accounting = cap_block_size(
+                blocks,
+                config.max_block_size,
+                mode=config.block_cap_mode,
+                key_cols=(kid_col,),
+            )
+            metrics["block_cap_accounting"] = accounting.first().asDict()
+        if config.block_histogram:
+            metrics["block_size_histogram"] = {
+                int(r["log2_size"]): int(r["num_blocks"])
+                for r in block_size_histogram(blocks).collect()
+            }
+        return blocks
+
+    blocks = runner.run(
+        "blocks", _fingerprint(config, "blocks", fp_ab), build_blocks,
+        parents=("clks_a", "clks_b"),
+    )
 
     def build_pairs() -> DataFrame:
         pairs = candidate_pairs(
-            blocks_a, other=blocks_b, key_col=config.key_col,
+            blocks.where(F.col(kid_col) >= 0),
+            other=blocks.where(F.col(kid_col) < 0),
+            key_col=kid_col,
             repartition=config.pair_partitions,
             min_band_matches=config.min_band_matches,
         )
         scored = score_candidates(
-            pairs, clks_a, threshold=config.threshold,
-            other_clks=clks_b, key_col=config.key_col,
+            pairs, clks_ka, threshold=config.threshold,
+            other_clks=clks_kb, key_col=kid_col,
+        )
+        # Back to user-facing keys BEFORE 1-1 matching: the mutual-best
+        # tie-break orders by key, which must stay the url ordering.
+        # Orientation is fixed (key_a from A, key_b from B) — no
+        # re-canonicalization.
+        scored = (
+            scored.join(
+                ids_a.select(F.col(kid_col).alias("key_a"),
+                             F.col(config.key_col).alias("_url_a")),
+                on="key_a",
+            )
+            .join(
+                ids_b.select(F.col(kid_col).alias("key_b"),
+                             F.col(config.key_col).alias("_url_b")),
+                on="key_b",
+            )
+            .select(
+                F.col("_url_a").alias("key_a"),
+                F.col("_url_b").alias("key_b"),
+                "score",
+            )
         )
         if not one_to_one:
             return scored
@@ -620,7 +725,7 @@ def run_linkage_two_party(
         config, "pairs", f"{fp_ab}|one_to_one={one_to_one}"
     )
     matched = runner.run(
-        "pairs", pairs_fp, build_pairs, parents=("clks_a", "clks_b")
+        "pairs", pairs_fp, build_pairs, parents=("clks_a", "clks_b", "blocks")
     )
 
     def build_clusters() -> DataFrame:
@@ -643,7 +748,7 @@ def run_linkage_two_party(
 
     return LinkageResult(
         clks=clks_a.unionByName(clks_b),
-        blocks=blocks_a.unionByName(blocks_b),
+        blocks=blocks,  # kid domain, capped (party = kid sign bit)
         pairs=matched,
         clusters=clusters,
         metrics=metrics,
