@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "quantized_dot",
+    "batched_quantized_dot",
     "cosine",
     "brute_force_topk",
     "hyperplane_signatures",
@@ -63,12 +64,46 @@ def _quantize(vec: Column) -> Column:
 
 def quantized_dot(a: Column, b: Column) -> Column:
     """Integer dot product of quantized vectors — order-independent,
-    bit-exact in every engine (the oracle-checkable ranking score)."""
+    bit-exact in every engine (the oracle-checkable ranking score).
+
+    Catalyst-expression form: documents the exact SQL-expressible
+    semantics the DuckDB oracles mirror. The hot paths score through
+    :func:`batched_quantized_dot` instead — interpreted HOF lambdas cost
+    ~100x numpy for per-element work (measured; see SNIPPETS history) —
+    and a pytest pins the two bit-identical.
+    """
     return F.aggregate(
         F.zip_with(_quantize(a), _quantize(b), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def _quantize_np(vecs: pd.Series) -> np.ndarray:
+    """[n, dim] int64 of floor(x*1e6 + 0.5) — the numpy twin of
+    :func:`_quantize` (float32 → float64 widening is exact, so the two
+    agree bit-for-bit)."""
+    mat = np.array(list(vecs), dtype=np.float64)
+    return np.floor(mat * _QUANT + 0.5).astype(np.int64)
+
+
+def batched_quantized_dot(a: Column, b: Column) -> Column:
+    """Arrow-batched integer dot product — same values as
+    :func:`quantized_dot`, computed as one numpy matmul-row per batch.
+
+    int64 products stay exact: |q| ≤ ~1e6·|x|, so unit-scale embeddings
+    give per-term ≤ 1e12 and 64-dim sums ≤ ~1e14 — far inside int64.
+    """
+
+    @F.pandas_udf(LongType())
+    def qdot(av: pd.Series, bv: pd.Series) -> pd.Series:
+        if len(av) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        qa = _quantize_np(av)
+        qb = _quantize_np(bv)
+        return pd.Series((qa * qb).sum(axis=1))
+
+    return qdot(a, b)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -112,7 +147,7 @@ def brute_force_topk(
     scored = scored.select(
         query_key_col,
         key_col,
-        quantized_dot(F.col("_qvec"), F.col(vec_col)).alias("dot_q"),
+        batched_quantized_dot(F.col("_qvec"), F.col(vec_col)).alias("dot_q"),
     )
     w = Window.partitionBy(query_key_col).orderBy(
         F.desc("dot_q"), F.asc(key_col)
@@ -154,24 +189,76 @@ def hyperplane_signatures(
     """Bucket id from sign signature under seeded ±1 hyperplanes.
 
     The sign is taken on an *integer* dot product of quantized components,
-    so bucket assignment is bit-exact across engines. Vectors with equal
-    signatures lie in the same angular bucket.
+    so bucket assignment is bit-exact across engines: one Arrow pass does
+    the [n, dim] @ [dim, planes] matmul in int64 (exact — see
+    :func:`batched_quantized_dot`) instead of num_planes × dim
+    interpreted Catalyst lambdas per row. The DuckDB oracle
+    (SQL_EMB_BUCKET_SIZES) mirrors the expression form verbatim; a
+    pytest pins the two bit-identical.
     """
-    planes = rademacher_planes(num_planes, dim, seed)
-    qvec = _quantize(F.col(vec_col))
-    bucket = None
-    for p, row in enumerate(planes):
-        plane = F.array(*[F.lit(c).cast("long") for c in row])
-        dot = F.aggregate(
-            F.zip_with(qvec, plane, lambda x, c: x * c),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bit = (dot >= 0).cast("long")
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket + term
+    planes = np.array(
+        rademacher_planes(num_planes, dim, seed), dtype=np.int64
+    ).T  # [dim, planes]
+    weights = np.int64(1) << np.arange(num_planes, dtype=np.int64)
+
+    @F.pandas_udf(LongType())
+    def signature(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        q = _quantize_np(vecs)
+        bits = (q @ planes >= 0).astype(np.int64)  # [n, planes]
+        return pd.Series(bits @ weights)
+
     return vectors.select(
-        F.col(key_col), F.col(vec_col), bucket.alias("bucket")
+        F.col(key_col), F.col(vec_col),
+        signature(F.col(vec_col)).alias("bucket"),
+    )
+
+
+def _table_signatures(
+    vectors: DataFrame,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+    dim: int,
+    key_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(key, bucket) rows for ``num_tables`` independent plane sets.
+
+    One [n, dim] @ [dim, tables*planes] int64 matmul computes every
+    table's signature in a single Arrow pass; table ``t`` uses seed
+    ``seed + 7919*t`` (so table 0 reproduces the single-table layout the
+    SQL oracle mirrors) and tags its bucket with ``t`` above the sign
+    bits — buckets never collide across tables.
+    """
+    from pyspark.sql.types import ArrayType
+
+    planes = np.concatenate(
+        [
+            np.array(
+                rademacher_planes(num_planes, dim, seed + 7919 * t),
+                dtype=np.int64,
+            ).T
+            for t in range(num_tables)
+        ],
+        axis=1,
+    )  # [dim, tables*planes]
+    weights = np.int64(1) << np.arange(num_planes, dtype=np.int64)
+    table_tags = np.arange(num_tables, dtype=np.int64) << num_planes
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        q = _quantize_np(vecs)
+        bits = (q @ planes >= 0).astype(np.int64)
+        per_table = bits.reshape(len(vecs), num_tables, num_planes)
+        buckets = per_table @ weights + table_tags  # [n, tables]
+        return pd.Series(list(buckets))
+
+    return vectors.select(
+        F.col(key_col), F.explode(sigs(F.col(vec_col))).alias("bucket")
     )
 
 
@@ -182,32 +269,48 @@ def lsh_topk(
     num_planes: int = 12,
     seed: int = 42,
     dim: int = 64,
+    num_tables: int = 1,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     query_key_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: compare only vectors in the query's bucket.
+    """Approximate top-k: compare only vectors sharing a bucket with the
+    query in at least one of ``num_tables`` independent hyperplane
+    tables.
 
-    Scale path: the vectors table is bucketed once (reusable across query
-    batches); each query probes one bucket — a broadcastable join at
-    realistic query volumes. Recall depends on num_planes vs data;
-    callers trade num_planes down for recall up.
+    Scale path: the vectors table is bucketed once (reusable across
+    query batches; skinny (key, bucket) rows only); each query probes
+    one bucket per table — a broadcastable join at realistic query
+    volumes. Candidates are deduplicated as skinny (query, key) ids
+    BEFORE the embedding payload is joined on, so a vector found in
+    several tables ships its floats once. Recall rises with
+    ``num_tables`` (union of independent draws) and falls with
+    ``num_planes``; measured numbers live in COVERAGE.md.
     """
-    data_buckets = hyperplane_signatures(
-        vectors, num_planes, seed, dim, key_col, vec_col
+    data_buckets = _table_signatures(
+        vectors, num_planes, num_tables, seed, dim, key_col, vec_col
     )
-    query_buckets = hyperplane_signatures(
-        queries, num_planes, seed, dim, query_key_col, vec_col
-    ).select(
-        query_key_col, F.col(vec_col).alias("_qvec"), "bucket"
+    query_buckets = _table_signatures(
+        queries, num_planes, num_tables, seed, dim, query_key_col, vec_col
     )
-    joined = data_buckets.join(
-        F.broadcast(query_buckets), on="bucket"
-    ).where(F.col(key_col) != F.col(query_key_col))
+    candidates = (
+        data_buckets.join(F.broadcast(query_buckets), on="bucket")
+        .where(F.col(key_col) != F.col(query_key_col))
+        .select(query_key_col, key_col)
+        .distinct()
+    )
+    q_payload = F.broadcast(
+        queries.select(
+            F.col(query_key_col), F.col(vec_col).alias("_qvec")
+        )
+    )
+    joined = candidates.join(
+        vectors.select(F.col(key_col), F.col(vec_col)), on=key_col
+    ).join(q_payload, on=query_key_col)
     scored = joined.select(
         query_key_col,
         key_col,
-        quantized_dot(F.col("_qvec"), F.col(vec_col)).alias("dot_q"),
+        batched_quantized_dot(F.col("_qvec"), F.col(vec_col)).alias("dot_q"),
     )
     w = Window.partitionBy(query_key_col).orderBy(
         F.desc("dot_q"), F.asc(key_col)
@@ -386,22 +489,10 @@ def ivf_topk(
         F.broadcast(query_cells), on="centroid_id"
     ).where(F.col(key_col) != F.col(query_key_col))
 
-    @F.pandas_udf(LongType())
-    def qdot(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series(np.empty(0, dtype=np.int64))
-        qa = np.floor(
-            np.array(list(a), dtype=np.float64) * _QUANT + 0.5
-        ).astype(np.int64)
-        qb = np.floor(
-            np.array(list(b), dtype=np.float64) * _QUANT + 0.5
-        ).astype(np.int64)
-        return pd.Series((qa * qb).sum(axis=1))
-
     scored = joined.select(
         query_key_col,
         key_col,
-        qdot(F.col("_qvec"), F.col(vec_col)).alias("dot_q"),
+        batched_quantized_dot(F.col("_qvec"), F.col(vec_col)).alias("dot_q"),
     )
     w = Window.partitionBy(query_key_col).orderBy(
         F.desc("dot_q"), F.asc(key_col)

@@ -153,6 +153,129 @@ class TestBandIndependentSplit:
         assert (same1 - same0), "no pair recovered by the other band"
 
 
+class TestVectorizedEmbeddingParity:
+    def test_batched_dot_matches_expression_dot(self, spark):
+        """batched_quantized_dot (Arrow matmul) must be bit-identical to
+        quantized_dot (the Catalyst expression the SQL oracles mirror)."""
+        from clkhash_spark.operators.similarity import (
+            batched_quantized_dot,
+            quantized_dot,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(200)
+        pairs = emb.alias("a").crossJoin(
+            emb.selectExpr(
+                "vec_id AS vid_b", "embedding AS emb_b"
+            ).limit(5).alias("b")
+        )
+        diff = pairs.select(
+            (
+                quantized_dot(F.col("embedding"), F.col("emb_b"))
+                - batched_quantized_dot(F.col("embedding"), F.col("emb_b"))
+            ).alias("d")
+        ).where(F.col("d") != 0)
+        assert diff.count() == 0
+
+    def test_single_table_lsh_unchanged_by_generalization(self, spark):
+        """num_tables=1 must reproduce the oracle'd single-table result
+        exactly (table 0 uses the base seed and a zero table tag)."""
+        from clkhash_spark.operators.similarity import (
+            hyperplane_signatures,
+            lsh_topk,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).cache()
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        one = sorted(
+            (r["query_id"], r["vec_id"], r["dot_q"], r["rank"])
+            for r in lsh_topk(
+                emb, queries, k=10, num_planes=8, num_tables=1
+            ).collect()
+        )
+        # hyperplane_signatures (used by bucket-sizes + near-dup) must
+        # agree with table 0 of the generalized path.
+        from clkhash_spark.operators.similarity import _table_signatures
+
+        sig_a = {
+            (r["vec_id"], r["bucket"])
+            for r in hyperplane_signatures(
+                emb, num_planes=8, dim=64
+            ).select("vec_id", "bucket").collect()
+        }
+        sig_b = {
+            (r["vec_id"], r["bucket"])
+            for r in _table_signatures(
+                emb, 8, 1, 42, 64, "vec_id", "embedding"
+            ).collect()
+        }
+        assert sig_a == sig_b
+        assert one, "single-table lsh returned nothing"
+
+
+class TestAnnRecall:
+    """Measured recall@10 of the approximate ANN paths vs the exact
+    baseline (numbers published in COVERAGE.md; floors here are safety
+    margins under the measured values on the driver embeddings)."""
+
+    @pytest.fixture(scope="class")
+    def topk_sets(self, spark):
+        from clkhash_spark.operators import similarity as S
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).cache()
+        queries = emb.where(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        brute = {
+            (r["query_id"], r["vec_id"])
+            for r in S.brute_force_topk(emb, queries, k=10).collect()
+        }
+        return emb, queries, brute
+
+    def test_multi_table_lsh_recall(self, spark, topk_sets):
+        from clkhash_spark.operators import similarity as S
+
+        emb, queries, brute = topk_sets
+        lsh = {
+            (r["query_id"], r["vec_id"])
+            for r in S.lsh_topk(
+                emb, queries, k=10, num_planes=4, num_tables=16
+            ).collect()
+        }
+        recall = len(lsh & brute) / len(brute)
+        assert recall >= 0.80, recall  # measured 0.89 (sf0.01) / 0.92 (sf0.1)
+
+    def test_ivf_recall_at_partial_probe(self, spark, topk_sets):
+        from clkhash_spark.operators import similarity as S
+
+        emb, queries, brute = topk_sets
+        cents = S.kmeans_centroids(emb, num_centroids=8)
+        ivf2 = {
+            (r["query_id"], r["vec_id"])
+            for r in S.ivf_topk(
+                emb, queries, cents, k=10, nprobe=2
+            ).collect()
+        }
+        ivf4 = {
+            (r["query_id"], r["vec_id"])
+            for r in S.ivf_topk(
+                emb, queries, cents, k=10, nprobe=4
+            ).collect()
+        }
+        r2 = len(ivf2 & brute) / len(brute)
+        r4 = len(ivf4 & brute) / len(brute)
+        assert r2 >= 0.35, r2  # measured 0.48 at 1/4 corpus scanned
+        assert r4 >= r2  # more probes never hurt
+        assert r4 >= 0.60, r4  # measured 0.75 at 1/2 corpus scanned
+
+
 class TestDenseKidResume:
     def test_pairs_recompute_after_partial_resume_matches(
         self, spark, tmp_path
