@@ -36,11 +36,15 @@ from .schema import Schema
 # blakeHash parity with the reference's native-endian struct.unpack('32H')
 # is only byte-exact on little-endian hosts; every platform Spark
 # realistically runs on qualifies, but make the assumption loud.
+# A hard raise, not `assert`: the guard must survive `python -O`
+# (asserts are stripped exactly where this silent-divergence protection
+# matters most).
 _LITTLE_ENDIAN = sys.byteorder == "little"
-assert _LITTLE_ENDIAN, (
-    "clkhash_spark pins little-endian blakeHash digests; big-endian hosts "
-    "would diverge from reference CLKs"
-)
+if not _LITTLE_ENDIAN:
+    raise RuntimeError(
+        "clkhash_spark pins little-endian blakeHash digests; big-endian "
+        "hosts would diverge from reference CLKs"
+    )
 
 
 def double_hash_token(

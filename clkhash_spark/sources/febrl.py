@@ -13,6 +13,8 @@ precision 1.000 / recall 1.000 against the 500 shared rec_ids.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -21,7 +23,12 @@ from ..core.schema import Schema, from_json_dict
 __all__ = ["FEBRL_TESTDATA", "FEBRL_FEATURES", "febrl_schema",
            "load_febrl_party"]
 
-FEBRL_TESTDATA = "/root/reference/tests/testdata"
+# Overridable so the fixture isn't pinned to this machine's checkout:
+# point CLKHASH_SPARK_FEBRL_DIR at any directory holding the FEBRL
+# dirty_1000_50_{1,2}.csv files.
+FEBRL_TESTDATA = os.environ.get(
+    "CLKHASH_SPARK_FEBRL_DIR", "/root/reference/tests/testdata"
+)
 
 _STRING_FIELDS = ("given_name", "surname", "address_1", "address_2",
                   "suburb", "state")

@@ -34,6 +34,7 @@ __all__ = [
     "encode_clks_stream",
     "start_encode_stream",
     "streaming_exact_dedup",
+    "start_dedup_stream",
 ]
 
 
@@ -65,7 +66,7 @@ def streaming_exact_dedup(
     stream_df: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
-    state_ttl_minutes: Optional[int] = None,
+    state_ttl_minutes: Optional[float] = None,
 ) -> DataFrame:
     """First-seen-wins exact dedup across micro-batches (stateful).
 
@@ -95,6 +96,14 @@ def streaming_exact_dedup(
     )
 
     from .operators.dedup import normalized_text
+
+    if state_ttl_minutes is not None and state_ttl_minutes <= 0:
+        # 0 would silently mean "no TTL" (falsy) — make the nonsense
+        # input loud instead.
+        raise ValueError(
+            f"state_ttl_minutes must be positive, got {state_ttl_minutes}; "
+            "pass None for unbounded state"
+        )
 
     keyed = stream_df.select(
         F.md5(normalized_text(F.col(text_col))).alias("text_md5"),
@@ -171,4 +180,47 @@ def start_encode_stream(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_dedup_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    state_ttl_minutes: Optional[float] = None,
+    trigger_available_now: bool = True,
+    processing_time: Optional[str] = None,
+) -> StreamingQuery:
+    """Start a first-seen dedup query with a parquet exactly-once sink.
+
+    Guard rail: TTL (ProcessingTimeTimeout) with an ``availableNow``
+    drain keeps the query alive servicing pending timers —
+    ``awaitTermination`` can block minutes-to-forever — so that
+    combination is rejected here rather than hanging downstream. Use a
+    continuous trigger (``processing_time='1 second'``) for TTL'd
+    queries.
+    """
+    if state_ttl_minutes is not None and trigger_available_now:
+        raise ValueError(
+            "state_ttl_minutes requires a continuous trigger: "
+            "ProcessingTimeTimeout keeps an availableNow drain alive "
+            "servicing timers (the query never terminates). Pass "
+            "trigger_available_now=False with processing_time set."
+        )
+    deduped = streaming_exact_dedup(
+        stream_df, text_col=text_col, key_col=key_col,
+        state_ttl_minutes=state_ttl_minutes,
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()

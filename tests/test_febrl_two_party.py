@@ -73,3 +73,68 @@ class TestFebrlTwoParty:
         recall = tp / truth
         assert precision >= 0.99, (tp, total)
         assert recall >= 0.99, (tp, truth)
+
+    def test_threshold_sweep_curve_shape(self, spark):
+        """Tutorial cells 33-35: sweep the Dice threshold 0.72→0.90 and
+        pin the P/R curve shape. CLKs and candidate scores are computed
+        ONCE at the lowest threshold (one_to_one=False keeps every
+        scored pair); each sweep point is a filter + 1-1 matching over
+        the cached scored pairs, so the sweep costs one pipeline run.
+
+        Measured curve on dirty_1000_50 (50%% overlap — the tutorial's
+        febrl4 sweep has 100%% overlap, where 1-1 solving cannot pair a
+        record spuriously because every record HAS a true partner):
+        t=0.72 → P 0.965 / R 1.000 (the 500 unmatched records per side
+        pair up at permissive thresholds); t≥0.80 → P 1.000 / R 1.000.
+        Asserted shape: P≥0.96 and R=1.0 at the permissive end, exact
+        P=1.0 from 0.80 up (the operating point), precision
+        non-decreasing and recall non-increasing in the threshold."""
+        from clkhash_spark.operators.scoring import one_to_one_matching
+
+        a = load_febrl_party(
+            spark, os.path.join(FEBRL_TESTDATA, "dirty_1000_50_1.csv"), "a:"
+        )
+        b = load_febrl_party(
+            spark, os.path.join(FEBRL_TESTDATA, "dirty_1000_50_2.csv"), "b:"
+        )
+        config = LinkageConfig(
+            schema=febrl_schema(),
+            secret="febrl-secret",
+            key_col="key",
+            feature_cols=list(FEBRL_FEATURES),
+            threshold=0.72,
+            num_bands=64,
+            bits_per_band=8,
+        )
+        result = run_linkage_two_party(
+            spark, a, b, config, one_to_one=False
+        )
+        scored = result.pairs.persist()
+        scored.count()
+
+        truth = 500
+        curve = []
+        for t in (0.72, 0.76, 0.80, 0.85, 0.90):
+            matched = one_to_one_matching(
+                scored.where(F.col("score") >= t)
+            ).select(
+                F.regexp_replace("key_a", "^[ab]:", "").alias("id_a"),
+                F.regexp_replace("key_b", "^[ab]:", "").alias("id_b"),
+            ).collect()
+            tp = sum(1 for r in matched if r["id_a"] == r["id_b"])
+            total = len(matched)
+            precision = tp / total if total else 1.0
+            recall = tp / truth
+            curve.append((t, precision, recall))
+
+        for t, precision, _ in curve:
+            if t >= 0.80:
+                assert precision == 1.0, (t, curve)
+            else:
+                assert precision >= 0.96, (t, curve)
+        assert curve[0][2] >= 0.99, curve  # permissive end catches all
+        precisions = [p for _, p, _ in curve]
+        recalls = [r for _, _, r in curve]
+        assert precisions == sorted(precisions), curve
+        assert recalls == sorted(recalls, reverse=True), curve
+        scored.unpersist()
