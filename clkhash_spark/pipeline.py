@@ -24,7 +24,8 @@ from .operators.cluster import attach_cluster_ids, connected_components
 from .operators.encode import encode_clks
 from .operators.scoring import candidate_pairs, score_candidates
 
-__all__ = ["LinkageConfig", "LinkageResult", "StageStore", "run_linkage",
+__all__ = ["LinkageConfig", "LinkageResult", "StageStore",
+           "estimate_bit_agreement", "run_linkage",
            "run_linkage_two_party", "tuned_blocking",
            "WEBPAGES_SCHEMA_DICT", "webpages_schema"]
 
@@ -142,6 +143,10 @@ class LinkageConfig:
     # values tuned at 100k rows melt down at 10M. Set explicitly to pin.
     num_bands: Optional[int] = None
     bits_per_band: Optional[int] = None
+    # Auto-tuning knob: scored-candidate budget per row (join volume is
+    # bounded at 3x this; see tuned_blocking). Ignored when both band
+    # settings are pinned explicitly.
+    target_candidates_per_row: float = 20.0
     # Require >=2 band collisions before a pair is scored: quadratic
     # suppression of spurious candidates (see candidate_pairs) at ~0.1%
     # recall cost for marginal (Dice~0.76) duplicates.
@@ -235,6 +240,13 @@ class StageStore:
         return out
 
 
+def _shuffle_partitions(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - defensive
+        return 200
+
+
 def _input_fingerprint(df: DataFrame) -> str:
     """Best-effort identity of an input DataFrame: source files + schema.
 
@@ -310,16 +322,77 @@ def _fingerprint(
     ).hexdigest()[:16]
 
 
-def _resolve_banding(config: LinkageConfig, n_rows: int) -> LinkageConfig:
-    """Fill in auto (None) band geometry from the materialized row count."""
+def estimate_bit_agreement(
+    clks: DataFrame,
+    key_col: str = "url",
+    clk_col: str = "clk",
+    sample_size: int = 2000,
+    num_pairs: int = 1000,
+) -> float:
+    """Measured per-bit agreement of *unrelated* CLK pairs.
+
+    The banding law's leakage term is ``a_u^r`` — a 0.05 error in the
+    assumed ``a_u`` mis-sizes the candidate volume by an order of
+    magnitude at r≈25 (measured at 600k rows: the 0.57 textbook value
+    vs ~0.62 actual cost 89M join rows instead of ~9M; shared-vocabulary
+    bit correlations push agreement above the fill-only estimate
+    ``1-2f(1-f)``). So: measure it.
+
+    Sample = ``sample_size`` rows with smallest ``xxhash64(key)`` (a
+    seeded, partition-independent draw — the same bounded TakeOrdered
+    pattern as kmeans_centroids; the corpus is never collected). Pairs
+    are formed by folding the hash-ordered sample in half, so they are
+    uniform-random with respect to content; the MEDIAN pair agreement is
+    reported, which tolerates up to half the sampled pairs being true
+    duplicates on heavily duplicated corpora.
+    """
+    import numpy as np
+
+    rows = (
+        clks.select(clk_col)
+        .orderBy(F.xxhash64(F.col(key_col)))
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.unpackbits(
+        np.frombuffer(
+            b"".join(r[clk_col] for r in rows), dtype=np.uint8
+        ).reshape(len(rows), -1),
+        axis=1,
+    )
+    half = len(mat) // 2
+    if half < 8:
+        return 0.57  # degenerate input; fall back to the prior
+    a = mat[:half][: min(half, num_pairs)]
+    b = mat[half : 2 * half][: min(half, num_pairs)]
+    agreement = (a == b).mean(axis=1)
+    return float(np.median(agreement))
+
+
+def _resolve_banding(
+    config: LinkageConfig,
+    n_rows: int,
+    measured_agreement: Optional[float] = None,
+) -> LinkageConfig:
+    """Fill in auto (None) band geometry from the materialized row count
+    (and the measured unrelated-pair bit agreement, when available)."""
     import dataclasses
 
     if config.num_bands is not None and config.bits_per_band is not None:
         return config
+    kwargs = {}
+    if measured_agreement is not None:
+        # Clamp to a sane regime: <0.5 means anti-correlated sampling
+        # noise, >0.9 means the "unrelated" sample is mostly duplicates
+        # (median swamped) — both would mis-size r wildly.
+        kwargs["unrelated_agreement"] = min(max(measured_agreement, 0.50),
+                                            0.90)
     tuned = tuned_blocking(
         max(int(n_rows), 1000),
         num_bands=config.num_bands or 64,
         min_band_matches=config.min_band_matches,
+        target_candidates_per_row=config.target_candidates_per_row,
+        **kwargs,
     )
     return dataclasses.replace(
         config,
@@ -338,6 +411,7 @@ class _StageRunner:
         config: LinkageConfig,
         metrics: Dict[str, Any],
     ) -> None:
+        self.spark = spark
         self.store = (
             StageStore(spark, config.checkpoint_dir)
             if config.checkpoint_dir
@@ -353,6 +427,28 @@ class _StageRunner:
             self.metrics[f"{name}_rows"] = entry.get("rows")
             return self.store.read(name)
         start = time.time()
+        # Tag every job this stage triggers with a job group, so the
+        # event log (and the UI) can attribute shuffle bytes / task time
+        # to pipeline stages — tools/linkage_job.py aggregates these
+        # into per-stage shuffle counters. Restored in the finally
+        # below; lazily-consumed upstream work is attributed to the
+        # stage whose action forced it, which is the wall-clock-honest
+        # attribution.
+        sc = self.spark.sparkContext
+        sc.setLocalProperty("spark.jobGroup.id", f"clk:{name}")
+        sc.setLocalProperty(
+            "spark.job.description", f"clkhash stage {name}"
+        )
+        try:
+            df = self._run_stage(name, fp, build, parents, start)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+        return df
+
+    def _run_stage(
+        self, name: str, fp: str, build, parents, start: float
+    ) -> DataFrame:
         df = build()
         if self.store is not None:
             df = self.store.write(name, df, fp)
@@ -415,14 +511,21 @@ def run_linkage(
     )
 
     # Band geometry must scale with n (candidate volume grows n²,
-    # true pairs n) — resolve auto settings from the materialized count.
+    # true pairs n) — resolve auto settings from the materialized count
+    # AND the measured unrelated-pair bit agreement (the leakage base of
+    # the law; assuming it costs an order of magnitude in join volume —
+    # see estimate_bit_agreement).
     n_rows = metrics.get("clks_rows") or clks.count()
-    config = _resolve_banding(config, n_rows)
+    measured_a = None
+    if config.num_bands is None or config.bits_per_band is None:
+        measured_a = estimate_bit_agreement(clks, key_col=config.key_col)
+    config = _resolve_banding(config, n_rows, measured_a)
     metrics["banding"] = {
         "num_bands": config.num_bands,
         "bits_per_band": config.bits_per_band,
         "min_band_matches": config.min_band_matches,
         "n_rows": n_rows,
+        "measured_bit_agreement": measured_a,
     }
 
     # Work in an int64 key domain through the shuffle-heavy middle
@@ -466,9 +569,18 @@ def run_linkage(
             salt=config.lsh_salt,
             key_cols=(kid_col,),
         )
+        # ONE explicit shuffle by block_key, persisted: the cap's size
+        # aggregate, the histogram, and BOTH sides of the pair self-join
+        # all require hashpartitioning(block_key) — deriving them from
+        # this exchange makes every one of them exchange-free. Counters
+        # at 600k rows: the banded rows (37M skinny rows, ~320 MB)
+        # previously re-shuffled 3x (size groupBy + two join inputs =
+        # ~75M of the pairs stage's 85M shuffled records); now once.
+        blocks = blocks.repartition(
+            config.pair_partitions or _shuffle_partitions(spark),
+            "block_key",
+        )
         if config.max_block_size:
-            # Persist the raw banding once: the cap needs it twice (size
-            # join + accounting) and clks is already materialized.
             blocks = blocks.persist()
             blocks, accounting = cap_block_size(
                 blocks,
@@ -496,7 +608,10 @@ def run_linkage(
             candidate_pairs(
                 blocks,
                 key_col=kid_col,
-                repartition=config.pair_partitions,
+                # blocks is already hash-partitioned by block_key (one
+                # exchange in the blocks stage serves both join sides);
+                # a repartition here would just add the shuffle back.
+                repartition=None,
                 min_band_matches=config.min_band_matches,
             ),
             clks_k,
@@ -601,12 +716,18 @@ def run_linkage_two_party(
     n_rows = (metrics.get("clks_a_rows") or clks_a.count()) + (
         metrics.get("clks_b_rows") or clks_b.count()
     )
-    config = _resolve_banding(config, n_rows)
+    measured_a = None
+    if config.num_bands is None or config.bits_per_band is None:
+        measured_a = estimate_bit_agreement(
+            clks_a.unionByName(clks_b), key_col=config.key_col
+        )
+    config = _resolve_banding(config, n_rows, measured_a)
     metrics["banding"] = {
         "num_bands": config.num_bands,
         "bits_per_band": config.bits_per_band,
         "min_band_matches": config.min_band_matches,
         "n_rows": n_rows,
+        "measured_bit_agreement": measured_a,
     }
 
     # Same int64 key-id domain as run_linkage — the shuffle-heavy middle
@@ -661,6 +782,13 @@ def run_linkage_two_party(
 
     def build_blocks() -> DataFrame:
         blocks = bands(clks_ka).unionByName(bands(clks_kb))
+        # Same single-exchange discipline as run_linkage: partition the
+        # unioned bands by block_key once; the cap aggregate and both
+        # sign-filtered sides of the cross-party join reuse it.
+        blocks = blocks.repartition(
+            config.pair_partitions or _shuffle_partitions(spark),
+            "block_key",
+        )
         if config.max_block_size:
             blocks = blocks.persist()
             blocks, accounting = cap_block_size(
@@ -687,7 +815,7 @@ def run_linkage_two_party(
             blocks.where(F.col(kid_col) >= 0),
             other=blocks.where(F.col(kid_col) < 0),
             key_col=kid_col,
-            repartition=config.pair_partitions,
+            repartition=None,  # pre-partitioned in the blocks stage
             min_band_matches=config.min_band_matches,
         )
         scored = score_candidates(

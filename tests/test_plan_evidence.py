@@ -58,3 +58,84 @@ class TestPlanEvidence:
         plan = plan_of(q_doc_minhash_pairs(spark, SF))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_lsh_topk_arrow_signatures_and_skinny_dedup(self, spark):
+        """Multi-table LSH: signatures/dots run in Arrow UDFs (never
+        interpreted Catalyst HOF lambdas), the bucket join is not a
+        cartesian, and candidates dedup before the payload join."""
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from clkhash_spark.operators.similarity import lsh_topk
+
+        emb = spark.read.parquet(
+            _os.path.join(SF, "embeddings.parquet")
+        )
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        plan = plan_of(
+            lsh_topk(emb, queries, k=10, num_planes=6, num_tables=4)
+        )
+        assert "ArrowEvalPython" in plan  # signature + dot UDFs
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # interpreted HOF markers must be gone from this path
+        assert "aggregate(" not in plan and "zip_with(" not in plan
+        # skinny dedup before payload: a HashAggregate over the id pair
+        assert "HashAggregate" in plan
+
+    def test_two_party_pairs_stay_in_kid_domain(self, spark):
+        """The two-party candidate join shuffles int64 kids only — no
+        url strings — and applies the skew cap over the unioned bands."""
+        from pyspark.sql import functions as F
+
+        from clkhash_spark.operators.blocking import (
+            block_keys,
+            cap_block_size,
+        )
+        from clkhash_spark.operators.encode import encode_clks
+        from clkhash_spark.operators.scoring import candidate_pairs
+        from clkhash_spark.pipeline import webpages_schema
+        from clkhash_spark.sources.webpages import synthetic_webpages
+
+        def party(seed, is_b):
+            pages = synthetic_webpages(spark, 60, seed=seed).select(
+                "url", "text"
+            )
+            clk = encode_clks(
+                pages, webpages_schema(), "s", key_cols=("url",)
+            )
+            kid = F.shiftrightunsigned(F.xxhash64(F.col("url")), 1)
+            if is_b:
+                kid = kid.bitwiseOR(F.lit(-(1 << 63)))
+            return clk.withColumn("_kid", kid)
+
+        bands = block_keys(
+            party(1, False), l=1024, num_bands=4, bits_per_band=22,
+            key_cols=("_kid",),
+        ).unionByName(
+            block_keys(
+                party(2, True), l=1024, num_bands=4, bits_per_band=22,
+                key_cols=("_kid",),
+            )
+        )
+        capped, _ = cap_block_size(bands, 2000, key_cols=("_kid",))
+        pairs = candidate_pairs(
+            capped.where(F.col("_kid") >= 0),
+            other=capped.where(F.col("_kid") < 0),
+            key_col="_kid", min_band_matches=2,
+        )
+        assert dict(pairs.dtypes) == {
+            "key_a": "bigint", "key_b": "bigint"
+        }
+        plan = plan_of(pairs)
+        assert "CartesianProduct" not in plan
+        assert "block_key" in plan  # join key is the band key
+        # the pair join must not carry url strings through any exchange
+        # (hash-shuffle at scale, broadcast at this fixture size)
+        ex_lines = [
+            ln for ln in plan.splitlines() if "Exchange" in ln
+        ]
+        assert all("url" not in ln for ln in ex_lines), ex_lines

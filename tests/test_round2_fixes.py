@@ -68,7 +68,14 @@ class TestTunedBlockingWiring:
             LinkageConfig(schema=webpages_schema(), secret="s"),
         )
         banding = result.metrics["banding"]
-        tuned = tuned_blocking(2000)
+        # Auto mode now calibrates the law's leakage base from a CLK
+        # sample (round 3): the resolved geometry must match
+        # tuned_blocking evaluated at the measured agreement.
+        measured = banding["measured_bit_agreement"]
+        assert measured is not None and 0.4 < measured < 0.95, measured
+        tuned = tuned_blocking(
+            2000, unrelated_agreement=min(max(measured, 0.50), 0.90)
+        )
         assert result.config.num_bands == tuned["num_bands"]
         assert result.config.bits_per_band == tuned["bits_per_band"]
         assert banding["n_rows"] == 2000

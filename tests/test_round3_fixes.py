@@ -276,6 +276,60 @@ class TestAnnRecall:
         assert r4 >= 0.60, r4  # measured 0.75 at 1/2 corpus scanned
 
 
+class TestCalibratedBanding:
+    def test_agreement_estimate_deterministic_and_sane(self, spark):
+        from clkhash_spark.operators.encode import encode_clks
+        from clkhash_spark.pipeline import (
+            estimate_bit_agreement,
+            webpages_schema,
+        )
+
+        pages = synthetic_webpages(spark, 1500, seed=5).select(
+            "url", "text"
+        )
+        clks = encode_clks(
+            pages, webpages_schema(), "s", key_cols=("url",)
+        ).persist()
+        a1 = estimate_bit_agreement(clks)
+        a2 = estimate_bit_agreement(clks)
+        assert a1 == a2  # hash-ordered sample → deterministic
+        # Fill-only lower bound: agreement >= 1 - 2f(1-f) (shared
+        # vocabulary only adds positive bit correlation); and it must
+        # stay below the near-duplicate regime.
+        fill = (
+            clks.agg(F.avg("popcount")).first()[0] / 1024.0
+        )
+        assert a1 >= 1 - 2 * fill * (1 - fill) - 0.02, (a1, fill)
+        assert a1 < 0.9, a1
+        clks.unpersist()
+
+    def test_median_robust_to_duplicated_corpus(self, spark):
+        """40%% exact-duplicate boilerplate must not drag the unrelated
+        agreement estimate into the duplicate regime (median, not
+        mean)."""
+        from clkhash_spark.operators.encode import encode_clks
+        from clkhash_spark.pipeline import (
+            estimate_bit_agreement,
+            webpages_schema,
+        )
+
+        pages = synthetic_webpages(spark, 900, seed=6).select("url", "text")
+        boiler = spark.range(600).select(
+            F.concat(F.lit("https://b-"), F.col("id")).alias("url"),
+            F.lit(" ".join(["menu nav footer copyright terms"] * 10)
+                  ).alias("text"),
+        )
+        clks = encode_clks(
+            pages.unionByName(boiler), webpages_schema(), "s",
+            key_cols=("url",),
+        )
+        a = estimate_bit_agreement(clks)
+        # A duplicate pair agrees on ~100% of bits; unrelated ~0.6.
+        # With 40% duplicates, ~16% of random pairs are dup-dup — the
+        # median must still sit in the unrelated regime.
+        assert a < 0.9, a
+
+
 class TestDenseKidResume:
     def test_pairs_recompute_after_partial_resume_matches(
         self, spark, tmp_path

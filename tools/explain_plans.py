@@ -101,6 +101,55 @@ def main() -> None:
          plan_of(q_emb_ivf_cells(spark, sf_dir)))
     )
 
+    # 8. multi-table LSH top-k — one ArrowEvalPython computes every
+    # table's signature; candidates dedup as skinny ids BEFORE the
+    # embedding payload joins back on.
+    from clkhash_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sections.append(
+        ("lsh_topk num_tables=4 (Arrow signature matmul, skinny "
+         "candidate dedup, payload joined after distinct)",
+         plan_of(lsh_topk(emb, queries, k=10, num_planes=6,
+                          num_tables=4)))
+    )
+
+    # 9. two-party pairs in the int64 kid domain: party in the kid sign
+    # bit, banding + skew cap over the union, cross-party join selects
+    # by sign — the shuffle moves (long, long) rows only.
+    from clkhash_spark.operators.blocking import cap_block_size
+    from clkhash_spark.sources.webpages import synthetic_webpages
+
+    def party(seed: int, is_b: bool) -> "DataFrame":
+        pages = synthetic_webpages(spark, 200, seed=seed).select(
+            "url", "text"
+        )
+        clk = encode_clks(pages, webpages_schema(), "s", key_cols=("url",))
+        kid = F.shiftrightunsigned(F.xxhash64(F.col("url")), 1)
+        if is_b:
+            kid = kid.bitwiseOR(F.lit(-(1 << 63)))
+        return clk.withColumn("_kid", kid)
+
+    bands_a = block_keys(party(1, False), l=1024, num_bands=8,
+                         bits_per_band=22, key_cols=("_kid",))
+    bands_b = block_keys(party(2, True), l=1024, num_bands=8,
+                         bits_per_band=22, key_cols=("_kid",))
+    capped, _ = cap_block_size(
+        bands_a.unionByName(bands_b), 2000, key_cols=("_kid",)
+    )
+    two_party_pairs = candidate_pairs(
+        capped.where(F.col("_kid") >= 0),
+        other=capped.where(F.col("_kid") < 0),
+        key_col="_kid", min_band_matches=2,
+    )
+    sections.append(
+        ("two-party candidate_pairs (kid domain, sign-bit party split, "
+         "capped union)", plan_of(two_party_pairs))
+    )
+
     lines = [
         "# PLANS — formatted physical plans of the key operators",
         "",

@@ -48,7 +48,7 @@ def main() -> None:
     # real cluster.
     from clkhash_spark.operators.encode import encode_clks
     from clkhash_spark.pipeline import (LinkageConfig, run_linkage,
-                                        tuned_blocking, webpages_schema)
+                                        webpages_schema)
     from clkhash_spark.sources.webpages import synthetic_webpages
 
     pages = synthetic_webpages(spark, args.rows, seed=args.seed)
@@ -66,14 +66,15 @@ def main() -> None:
     clks.write.format("noop").mode("overwrite").save()
     encode_s = time.time() - t0
 
-    tuned = tuned_blocking(args.rows, target_candidates_per_row=5.0)
+    # Auto banding: run_linkage resolves the geometry from the
+    # materialized row count AND the measured unrelated-bit agreement
+    # (the calibrated law; the textbook 0.57 prior under-sized r by 5
+    # bits at 600k rows → 10x the budgeted join volume).
     t0 = time.time()
     result = run_linkage(
         spark, pages,
         LinkageConfig(schema=webpages_schema(), secret=args.secret,
-                      num_bands=tuned["num_bands"],
-                      bits_per_band=tuned["bits_per_band"],
-                      min_band_matches=tuned["min_band_matches"]))
+                      target_candidates_per_row=5.0))
     result.clusters.write.format("noop").mode("overwrite").save()
     pipeline_s = time.time() - t0
 
@@ -86,13 +87,88 @@ def main() -> None:
         "pipeline_rows_per_sec": round(args.rows / pipeline_s, 1),
         "stage_seconds": {k: v for k, v in result.metrics.items()
                           if k.endswith("_seconds")},
+        "banding": result.metrics.get("banding"),
     }
+
+    # Per-stage shuffle counters: _StageRunner tags every job with a
+    # "clk:<stage>" group; with the event log enabled we can attribute
+    # shuffle bytes/records to pipeline stages after the app stops (the
+    # log is finalized by stop()).
+    event_dir = None
+    app_id = spark.sparkContext.applicationId
+    try:
+        if spark.conf.get("spark.eventLog.enabled", "false") == "true":
+            event_dir = spark.conf.get("spark.eventLog.dir")
+    except Exception:
+        event_dir = None
+    spark.stop()
+    if event_dir:
+        summary["shuffle_by_stage"] = parse_shuffle_metrics(
+            event_dir, app_id
+        )
+
     line = json.dumps(summary)
     print(line)
     if args.json_out:
         with open(args.json_out, "w") as fp:
             fp.write(line + "\n")
-    spark.stop()
+
+
+def parse_shuffle_metrics(event_dir: str, app_id: str) -> dict:
+    """Aggregate shuffle read/write bytes+records per job group from the
+    Spark event log (pure JSON-lines scan; no UI/REST dependency)."""
+    import os
+
+    path = event_dir
+    for prefix in ("file://", "file:"):
+        if path.startswith(prefix):
+            path = path[len(prefix):]
+            break
+    log_path = os.path.join(path, app_id)
+    if not os.path.exists(log_path):
+        if os.path.exists(log_path + ".inprogress"):
+            log_path += ".inprogress"
+        else:
+            return {}
+
+    stage_group: dict = {}
+    agg: dict = {}
+    with open(log_path) as fp:
+        for raw in fp:
+            try:
+                event = json.loads(raw)
+            except json.JSONDecodeError:
+                continue
+            kind = event.get("Event")
+            if kind == "SparkListenerJobStart":
+                group = (event.get("Properties") or {}).get(
+                    "spark.jobGroup.id"
+                )
+                for info in event.get("Stage Infos", []):
+                    stage_group.setdefault(info["Stage ID"], group)
+            elif kind == "SparkListenerTaskEnd":
+                metrics = event.get("Task Metrics")
+                if not metrics:
+                    continue
+                group = stage_group.get(event.get("Stage ID"))
+                if group is None:
+                    continue
+                entry = agg.setdefault(group, {
+                    "write_bytes": 0, "write_records": 0,
+                    "read_bytes": 0, "read_records": 0,
+                })
+                sw = metrics.get("Shuffle Write Metrics") or {}
+                sr = metrics.get("Shuffle Read Metrics") or {}
+                entry["write_bytes"] += sw.get("Shuffle Bytes Written", 0)
+                entry["write_records"] += sw.get(
+                    "Shuffle Records Written", 0
+                )
+                entry["read_bytes"] += (
+                    sr.get("Local Bytes Read", 0)
+                    + sr.get("Remote Bytes Read", 0)
+                )
+                entry["read_records"] += sr.get("Total Records Read", 0)
+    return agg
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ZIP_PATH = os.path.join(REPO, "dist", "clkhash_spark.zip")
+EVENTLOG_DIR = "/tmp/clk-eventlog"
 
 
 def spark_submit_bin() -> str:
@@ -71,6 +72,15 @@ def submit_command(cores: int, rows: int) -> list[str]:
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.ui.enabled": "false",
+        # Event log feeds the per-stage shuffle counters linkage_job
+        # aggregates after the app stops (no UI/REST needed).
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": "file://" + EVENTLOG_DIR,
+        # One plain-text JSON-lines file per app (Spark 4 defaults to a
+        # rolling zstd directory, which the post-run parser would need
+        # a zstd codec for).
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.rolling.enabled": "false",
     }
     cmd = [spark_submit_bin(), "--master", f"local[{cores}]",
            "--py-files", ZIP_PATH]
@@ -82,6 +92,7 @@ def submit_command(cores: int, rows: int) -> list[str]:
 
 
 def run_level_once(cores: int, rows: int) -> dict:
+    os.makedirs(EVENTLOG_DIR, exist_ok=True)
     env = dict(os.environ,
                PYSPARK_PYTHON=sys.executable,
                PYSPARK_DRIVER_PYTHON=sys.executable)
@@ -109,6 +120,10 @@ def run_level(cores: int, rows: int, repeats: int) -> dict:
     best["stage_seconds"] = {
         key: min(r["stage_seconds"][key] for r in runs)
         for key in runs[0]["stage_seconds"]}
+    # Shuffle volume is a property of the plan, not the run — take it
+    # from the fastest pipeline run (all runs agree modulo AQE wiggle).
+    fastest = min(runs, key=lambda r: r["pipeline_seconds"])
+    best["shuffle_by_stage"] = fastest.get("shuffle_by_stage", {})
     best["repeats"] = repeats
     return best
 
@@ -127,11 +142,24 @@ def main() -> None:
     def eff(metric: str) -> float:
         return round((high[metric] / low[metric]) / factor, 3)
 
+    # DRAM ceiling for the bandwidth-bound argument (after the Spark
+    # runs so the probe never pollutes a timed level).
+    probe = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "membw_probe.py"),
+         "1", str(small), str(big), "32"],
+        capture_output=True, text=True, timeout=600,
+    )
+    triad = (
+        json.loads(probe.stdout.strip().splitlines()[-1])["triad_gbps"]
+        if probe.returncode == 0 else {}
+    )
+
     summary = {
         "rows": rows,
         "levels": [low, high],
         "encode_scaling_efficiency": eff("encode_rows_per_sec"),
         "pipeline_scaling_efficiency": eff("pipeline_rows_per_sec"),
+        "triad_gbps": triad,
     }
     print(json.dumps(summary))
 
@@ -181,6 +209,71 @@ def main() -> None:
         "stage-by-stage interpretation (single-box DRAM ceiling vs what "
         "a real cluster's added memory channels change).",
         "",
+    ]
+
+    # --- shuffle counters: bytes shuffled per pipeline stage --------
+    shuffle = high.get("shuffle_by_stage") or {}
+    if shuffle:
+        lines += [
+            "## Shuffle volume per stage (event-log task counters, "
+            f"local[{big}] fastest run)",
+            "",
+            "| stage | write MB | read MB | write B/input-row "
+            "| shuffled records | stage s | agg MB/s |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        order = sorted(
+            shuffle,
+            key=lambda g: ["clk:clks", "clk:kids", "clk:blocks",
+                           "clk:pairs", "clk:clusters"].index(g)
+            if g in ("clk:clks", "clk:kids", "clk:blocks", "clk:pairs",
+                     "clk:clusters") else 99,
+        )
+        for group in order:
+            s = shuffle[group]
+            stage = group.split(":", 1)[-1]
+            secs = high["stage_seconds"].get(f"{stage}_seconds")
+            total_mb = (s["write_bytes"] + s["read_bytes"]) / 1e6
+            lines.append(
+                "| {} | {:.1f} | {:.1f} | {:.1f} | {:,} | {} | {} |"
+                .format(
+                    stage,
+                    s["write_bytes"] / 1e6,
+                    s["read_bytes"] / 1e6,
+                    s["write_bytes"] / rows,
+                    s["write_records"],
+                    f"{secs:.1f}" if secs else "-",
+                    f"{total_mb / secs:.0f}" if secs else "-",
+                )
+            )
+        lines.append("")
+
+    if summary.get("triad_gbps"):
+        tg = summary["triad_gbps"]
+        lines += [
+            "## Measured DRAM ceiling (STREAM-triad, tools/membw_probe.py)",
+            "",
+            "| concurrent procs | aggregate GB/s |",
+            "|---|---|",
+        ]
+        lines += [f"| {k} | {v} |" for k, v in tg.items()]
+        one = tg.get("1")
+        full = tg.get("32") or list(tg.values())[-1]
+        if one and full:
+            lines += [
+                "",
+                f"All-cores bandwidth is only {full / one:.1f}x the "
+                "single-stream figure — the box's memory bus, not the "
+                "core count, is the binding resource once a stage "
+                "streams data (shuffle + Arrow batches + hash tables). "
+                "A stage whose agg MB/s above approaches this ceiling "
+                "cannot speed up with more workers *on this box*; on a "
+                "real N→4N cluster the memory channels scale with the "
+                "executors.",
+            ]
+        lines.append("")
+
+    lines += [
         "Submit line (level {k}): `{cmd}`".format(
             k=small, cmd=" ".join(submit_command(small, rows))),
         "",
