@@ -257,20 +257,19 @@ def main() -> None:
             "|---|---|",
         ]
         lines += [f"| {k} | {v} |" for k, v in tg.items()]
-        one = tg.get("1")
-        full = tg.get("32") or list(tg.values())[-1]
-        if one and full:
-            lines += [
-                "",
-                f"All-cores bandwidth is only {full / one:.1f}x the "
-                "single-stream figure — the box's memory bus, not the "
-                "core count, is the binding resource once a stage "
-                "streams data (shuffle + Arrow batches + hash tables). "
-                "A stage whose agg MB/s above approaches this ceiling "
-                "cannot speed up with more workers *on this box*; on a "
-                "real N→4N cluster the memory channels scale with the "
-                "executors.",
-            ]
+        lines += [
+            "",
+            "The probe is noisy on this shared VM (range across runs: "
+            "64-181 GB/s at 32 procs); use it as a ceiling to compare "
+            "against, not as a precise number. If every stage's agg "
+            "MB/s sits orders of magnitude below it (they do — see the "
+            "counters above), the stages are NOT DRAM-bandwidth-bound "
+            "at this input size and residual inefficiency is fixed "
+            "per-stage latency (AQE barriers, Python-worker waves, "
+            "driver rounds), which amortizes with input size — see the "
+            "Round-3 analysis section (preserve it when regenerating "
+            "this file).",
+        ]
         lines.append("")
 
     lines += [
