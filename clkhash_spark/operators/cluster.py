@@ -116,6 +116,42 @@ def _checksum(edges: DataFrame) -> Tuple[int, int]:
     return row["n"], row["h"]
 
 
+def _union_find_labels(edge_rows) -> "object":
+    """Driver-side union-find over a bounded edge list.
+
+    Returns a pandas DataFrame (id, label) labelling EVERY vertex with
+    the minimum int64 id of its component — the same contract as the
+    distributed star-contraction fixpoint. np.unique returns ids
+    sorted, so index order == value order and union-by-min-index is
+    union-by-min-id."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(edge_rows, dtype=np.int64).reshape(-1, 2)
+    ids, inv = np.unique(arr, return_inverse=True)
+    pairs = inv.reshape(-1, 2)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    labels = np.array([ids[find(i)] for i in range(len(ids))],
+                      dtype=np.int64)
+    return pd.DataFrame({"id": ids, "label": labels})
+
+
 def connected_components(
     pairs: DataFrame,
     key_a: str = "key_a",
@@ -123,6 +159,7 @@ def connected_components(
     max_iterations: int = 50,
     reliable: bool = False,
     id_assignment: str = "hash",
+    small_graph_edges: int = 500_000,
 ) -> DataFrame:
     """Cluster pairs into components; returns ``(key, cluster_id)``.
 
@@ -138,6 +175,16 @@ def connected_components(
       any scale (the 10^12-row path), at the cost of one extra distinct
       + two mapping joins, and cluster-id *values* that vary run-to-run
       (membership does not).
+
+    Hybrid execution: the deduplicated edge count rides the first
+    materialization's checksum for free; at or below
+    ``small_graph_edges`` (bounded: 16 B/edge → ≤8 MB driver transfer
+    at the default) the components are solved with one driver-side
+    union-find instead of O(log n) rounds of 3-4 Spark jobs each —
+    at small/medium scale the rounds are pure fixed latency (measured:
+    ~16 s for 29k edges at local[32]). Above the gate the standard
+    distributed large-star/small-star contraction runs; pass
+    ``small_graph_edges=0`` to force it.
     """
     key_type = dict(pairs.dtypes)[key_a]
 
@@ -185,6 +232,24 @@ def connected_components(
         )
 
     edges, signature = _materialize_with_checksum(edges, reliable)
+
+    if signature[0] <= small_graph_edges:
+        spark = edges.sparkSession
+        rows = edges.collect()
+        if not rows:
+            # No edges: every key of key_ids is its own (absent)
+            # component; return the empty mapping (attach_cluster_ids
+            # fills singletons).
+            return key_ids.select(
+                "key", F.col("id").alias("cluster_id")
+            ).limit(0)
+        labels_pdf = _union_find_labels([(r["u"], r["v"]) for r in rows])
+        all_labels = spark.createDataFrame(labels_pdf)
+        return (
+            key_ids.join(all_labels, on="id", how="inner")
+            .select("key", F.col("label").alias("cluster_id"))
+        )
+
     converged = False
     for _ in range(max_iterations):
         edges, new_signature = _materialize_with_checksum(

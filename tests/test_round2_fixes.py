@@ -166,14 +166,18 @@ class TestConvergenceGuard:
         chain = spark.createDataFrame(
             [(i, i + 1) for i in range(64)], ["key_a", "key_b"]
         )
+        # small_graph_edges=0 forces the distributed rounds (the hybrid
+        # driver path would solve a 64-edge chain without iterating).
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(chain, max_iterations=1)
+            connected_components(
+                chain, max_iterations=1, small_graph_edges=0
+            )
 
     def test_default_budget_converges(self, spark):
         chain = spark.createDataFrame(
             [(i, i + 1) for i in range(64)], ["key_a", "key_b"]
         )
-        out = connected_components(chain)
+        out = connected_components(chain, small_graph_edges=0)
         assert out.select("cluster_id").distinct().count() == 1
 
 
