@@ -28,13 +28,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType
+from pyspark.sql.types import DoubleType, IntegerType, LongType
 from pyspark.sql.window import Window
 
 __all__ = [
     "quantized_dot",
     "batched_quantized_dot",
     "cosine",
+    "batched_cosine",
     "brute_force_topk",
     "hyperplane_signatures",
     "lsh_topk",
@@ -104,6 +105,25 @@ def batched_quantized_dot(a: Column, b: Column) -> Column:
         return pd.Series((qa * qb).sum(axis=1))
 
     return qdot(a, b)
+
+
+def batched_cosine(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine similarity (double) — the hot-path twin of
+    :func:`cosine` (float64 summation order differs from the Catalyst
+    fold by < 1e-12 on unit-scale vectors; consumers round anyway)."""
+
+    @F.pandas_udf(DoubleType())
+    def cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        if len(av) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        ma = np.array(list(av), dtype=np.float64)
+        mb = np.array(list(bv), dtype=np.float64)
+        dots = (ma * mb).sum(axis=1)
+        norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.where(norms > 0, dots / norms, 0.0))
+
+    return cos(a, b)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -532,9 +552,9 @@ def embedding_near_duplicates(
         pairs.select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                batched_cosine(F.col("emb_a"), F.col("emb_b")), 6
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .distinct()
