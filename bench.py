@@ -57,6 +57,21 @@ def main() -> None:
     spark = build_session(app_name="clkhash-spark-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm every Python worker once (fork + numpy/module imports cost
+    # ~15 s across 32 workers the first time a pandas UDF runs) so the
+    # timed queries measure steady-state throughput — the same
+    # documented warm-up linkage_job.py uses, and what a long-running
+    # job sees. Touches all cores: one tiny Arrow batch per partition.
+    def _touch(batches):
+        import numpy  # noqa: F401 — pay the worker import cost now
+
+        for batch in batches:
+            yield batch
+
+    spark.range(0, 4 * CPUS, 1, 4 * CPUS).mapInPandas(
+        _touch, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict = {}
     extras: dict = {}
 
