@@ -247,6 +247,28 @@ def _shuffle_partitions(spark: SparkSession) -> int:
         return 200
 
 
+# Partition budget for the banded-rows exchange: skinny (long, long)
+# rows at ~16 B payload → ~4M rows ≈ 64 MB serialized per partition,
+# comfortably in-memory through the cap join and pair self-join.
+_BANDED_ROWS_PER_PARTITION = 4_000_000
+
+
+def _banded_partitions(spark: SparkSession, banded_rows: int) -> int:
+    """Partition count for the single banded-rows exchange.
+
+    The explicit repartition bypasses AQE coalescing, so size it from
+    the known volume (rows x bands) instead of the static
+    shuffle-partitions conf: at 2M input rows x 64 bands on local[2]
+    the static 8 partitions put 16M rows (~256 MB+) in each and the
+    blocks stage spent its time spilling. Floor at the session conf
+    (never fewer partitions than plain shuffles use), cap at 65536
+    (10^12-row inputs run with explicit pair_partitions anyway)."""
+    by_volume = (banded_rows + _BANDED_ROWS_PER_PARTITION - 1) // (
+        _BANDED_ROWS_PER_PARTITION
+    )
+    return max(_shuffle_partitions(spark), min(int(by_volume), 65536))
+
+
 def _input_fingerprint(df: DataFrame) -> str:
     """Best-effort identity of an input DataFrame: source files + schema.
 
@@ -577,7 +599,8 @@ def run_linkage(
         # previously re-shuffled 3x (size groupBy + two join inputs =
         # ~75M of the pairs stage's 85M shuffled records); now once.
         blocks = blocks.repartition(
-            config.pair_partitions or _shuffle_partitions(spark),
+            config.pair_partitions
+            or _banded_partitions(spark, n_rows * config.num_bands),
             "block_key",
         )
         if config.max_block_size:
@@ -786,7 +809,8 @@ def run_linkage_two_party(
         # unioned bands by block_key once; the cap aggregate and both
         # sign-filtered sides of the cross-party join reuse it.
         blocks = blocks.repartition(
-            config.pair_partitions or _shuffle_partitions(spark),
+            config.pair_partitions
+            or _banded_partitions(spark, n_rows * config.num_bands),
             "block_key",
         )
         if config.max_block_size:
