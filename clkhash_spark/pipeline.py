@@ -168,6 +168,14 @@ class LinkageConfig:
     # Record the log2 block-size histogram (the skew observable) in
     # metrics — one extra aggregate over the banded rows.
     block_histogram: bool = False
+    # Matched-pair graphs at or below this edge count are clustered
+    # driver-side (Arrow transfer, 16 B/edge → ≤64 MB at the default;
+    # vectorized hook+jump labelling) instead of O(log n) rounds of
+    # Spark jobs — the rounds are almost pure fixed latency at
+    # small/medium scale (the clusters stage measured 0.36 scaling
+    # efficiency at 2→8 cores). Above the gate the distributed
+    # star-contraction runs; 0 forces it.
+    cluster_driver_gate_edges: int = 4_000_000
     # Folded into stage fingerprints so a resume never reuses stages
     # computed from different input data. Defaults to a fingerprint of
     # the input's source files + schema (exact for file-backed reads;
@@ -366,7 +374,10 @@ def estimate_bit_agreement(
     are formed by folding the hash-ordered sample in half, so they are
     uniform-random with respect to content; the MEDIAN pair agreement is
     reported, which tolerates up to half the sampled pairs being true
-    duplicates on heavily duplicated corpora.
+    duplicates. On a corpus so duplicated that even the median lands in
+    the duplicate regime (> 0.90), the 25th-percentile agreement — the
+    unrelated tail — is returned instead, with a RuntimeWarning, rather
+    than letting the downstream clamp pin silently at 0.90.
     """
     import numpy as np
 
@@ -376,6 +387,11 @@ def estimate_bit_agreement(
         .limit(sample_size)
         .collect()
     )
+    if len(rows) < 16:
+        # Degenerate input (incl. zero rows — np.frombuffer(b"") would
+        # raise before any fold): too few pairs to measure; fall back
+        # to the fill-based prior.
+        return 0.57
     mat = np.unpackbits(
         np.frombuffer(
             b"".join(r[clk_col] for r in rows), dtype=np.uint8
@@ -383,12 +399,25 @@ def estimate_bit_agreement(
         axis=1,
     )
     half = len(mat) // 2
-    if half < 8:
-        return 0.57  # degenerate input; fall back to the prior
     a = mat[:half][: min(half, num_pairs)]
     b = mat[half : 2 * half][: min(half, num_pairs)]
     agreement = (a == b).mean(axis=1)
-    return float(np.median(agreement))
+    med = float(np.median(agreement))
+    if med > 0.90:
+        import warnings
+
+        p25 = float(np.quantile(agreement, 0.25))
+        warnings.warn(
+            "estimate_bit_agreement: median pair agreement "
+            f"{med:.3f} is in the duplicate regime (> 0.90) — the "
+            "corpus looks majority-duplicated; using the "
+            f"25th-percentile agreement {p25:.3f} (the unrelated tail) "
+            "for band sizing instead",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return p25
+    return med
 
 
 def _resolve_banding(
@@ -625,15 +654,29 @@ def run_linkage(
         "blocks", _fingerprint(config, "blocks", input_fp), build_blocks,
         parents=("clks",),
     )
+    if metrics.get("blocks_resumed"):
+        # Parquet read-back loses the blocks stage's
+        # hashpartitioning(block_key) — restore it so a resumed run
+        # keeps the same single-exchange pairs plan as a fresh one.
+        blocks = blocks.repartition(
+            config.pair_partitions
+            or _banded_partitions(spark, n_rows * config.num_bands),
+            "block_key",
+        ).persist()
 
     def build_pairs() -> DataFrame:
         scored = score_candidates(
             candidate_pairs(
                 blocks,
                 key_col=kid_col,
-                # blocks is already hash-partitioned by block_key (one
-                # exchange in the blocks stage serves both join sides);
-                # a repartition here would just add the shuffle back.
+                # blocks is hash-partitioned by block_key (the blocks
+                # stage's single exchange, restored above on resume),
+                # so both self-join sides reuse it; a repartition here
+                # would add the shuffle back. Caveat: when the skew cap
+                # SPLITS a mega-block it rewrites block_key for those
+                # rows, and Catalyst conservatively re-inserts an
+                # exchange for the join — correct, just not
+                # single-exchange on that (rare, capped) path.
                 repartition=None,
                 min_band_matches=config.min_band_matches,
             ),
@@ -669,7 +712,8 @@ def run_linkage(
 
     def build_clusters() -> DataFrame:
         components = connected_components(
-            pairs, id_assignment=config.key_id_mode
+            pairs, id_assignment=config.key_id_mode,
+            small_graph_edges=config.cluster_driver_gate_edges,
         )
         return attach_cluster_ids(
             clks.select(config.key_col), components,
@@ -833,6 +877,14 @@ def run_linkage_two_party(
         "blocks", _fingerprint(config, "blocks", fp_ab), build_blocks,
         parents=("clks_a", "clks_b"),
     )
+    if metrics.get("blocks_resumed"):
+        # Restore hashpartitioning(block_key) lost in the parquet
+        # read-back (see run_linkage).
+        blocks = blocks.repartition(
+            config.pair_partitions
+            or _banded_partitions(spark, n_rows * config.num_bands),
+            "block_key",
+        ).persist()
 
     def build_pairs() -> DataFrame:
         pairs = candidate_pairs(
@@ -882,7 +934,8 @@ def run_linkage_two_party(
 
     def build_clusters() -> DataFrame:
         components = connected_components(
-            matched, id_assignment=config.key_id_mode
+            matched, id_assignment=config.key_id_mode,
+            small_graph_edges=config.cluster_driver_gate_edges,
         )
         all_keys = clks_a.select(config.key_col).union(
             clks_b.select(config.key_col)
