@@ -63,15 +63,23 @@ def webpages_schema() -> Schema:
     return from_json_dict(WEBPAGES_SCHEMA_DICT)
 
 
+# Band-count search grid: banded-row volume (the dominant pipeline
+# shuffle — b skinny rows per input record) is proportional to b, so
+# the tuner walks this grid upward and stops at the first band count
+# whose budget-derived bit depth still predicts the recall target.
+_BAND_GRID = (16, 20, 24, 28, 32, 40, 48, 64, 96, 128, 192, 256, 384, 512)
+
+
 def tuned_blocking(
     n_rows: int,
-    num_bands: int = 64,
+    num_bands: Optional[int] = None,
     unrelated_agreement: float = 0.57,
     # Empirical on fixtures: near-dup Dice >= 0.83 at fill 0.32 gives
     # per-bit agreement ~0.93; pass 0.90 to plan for a Dice-0.76 tail.
     duplicate_agreement: float = 0.93,
     target_candidates_per_row: float = 20.0,
     min_band_matches: int = 2,
+    target_recall: float = 0.995,
 ) -> Dict[str, int]:
     """Scale-aware LSH band sizing.
 
@@ -88,10 +96,29 @@ def tuned_blocking(
       ``r ≈ log(2·sqrt(target/n)/b) / log(a_u)`` (16 bits ≈ 1M rows,
       28 ≈ 10^12 — CLK-bit LSH stays viable at web scale).
 
-    Recall per true pair (worst-case band agreement ``a_d≈0.90`` for a
-    marginal Dice-0.75 duplicate): ``P(Binom(b, a_d^r) ≥ m)``; bands
-    double until the prediction clears 0.995 (reported so callers can
-    check).
+    Recall per true pair (worst-case band agreement for a marginal
+    duplicate): ``P(Binom(b, a_d^r) ≥ m)``.
+
+    ``num_bands=None`` (default) *searches* the band count: every
+    banded row is shuffle volume (b rows per record through the blocks
+    exchange — the pipeline's dominant mover, 1.49 GB at 2M rows under
+    the old fixed b=64), so the tuner picks the SMALLEST band count on
+    ``_BAND_GRID`` meeting the recall target. Fewer bands at a
+    budget-matched (slightly smaller) r trade banded-row volume for
+    none of the leakage budget: measured at 600k rows this moves
+    b=64→40-48 (−25-37% blocks-shuffle bytes) at equal F1.
+
+    The recall target itself is volume-aware: the allowed per-pair miss
+    probability is ``min(1 - target_recall, max(1e-5, n/4e8))`` — a
+    marginal band costs O(n) shuffle but buys a fixed per-pair recall
+    increment, so small inputs (where bands are nearly free) are held
+    to near-certainty (miss ≤ 1e-5: pinned small-fixture oracles stay
+    exact) while web-scale inputs settle at the ``target_recall`` floor
+    (0.995 — comfortably above the F1 ≥ 0.99 gate).
+
+    An explicit ``num_bands`` pins the start and only doubles upward
+    (the pre-round-4 behavior) — never shrinks below what the caller
+    asked for.
     """
     import math
 
@@ -106,23 +133,37 @@ def tuned_blocking(
     # recovers them but doubles banded-row volume for ~zero net wall
     # win on this workload.
     join_budget_per_row = 3.0 * target_candidates_per_row
-    frac = 2.0 * join_budget_per_row / (n_rows * num_bands)
-    r = math.ceil(math.log(frac) / math.log(unrelated_agreement))
-    r = max(14, min(r, 48))
+
+    def r_for(bands: int) -> int:
+        frac = 2.0 * join_budget_per_row / (n_rows * bands)
+        r = math.ceil(math.log(frac) / math.log(unrelated_agreement))
+        return max(14, min(r, 48))
 
     def predicted_recall(bands: int) -> float:
-        p = duplicate_agreement ** r
+        p = duplicate_agreement ** r_for(bands)
         miss = (1 - p) ** bands
         if min_band_matches >= 2:
             miss += bands * p * (1 - p) ** (bands - 1)
         return 1 - miss
 
-    bands = num_bands
-    while bands < 512 and predicted_recall(bands) < 0.995:
-        bands *= 2
+    # Volume-aware miss budget (see docstring): near-certainty when
+    # bands are cheap, the target_recall floor when they are the
+    # dominant shuffle.
+    allowed_miss = min(1.0 - target_recall, max(1e-5, n_rows / 4e8))
+
+    if num_bands is not None:
+        bands = num_bands
+        while bands < 512 and 1 - predicted_recall(bands) > allowed_miss:
+            bands *= 2
+    else:
+        bands = next(
+            (b for b in _BAND_GRID
+             if 1 - predicted_recall(b) <= allowed_miss),
+            _BAND_GRID[-1],
+        )
     return {
         "num_bands": bands,
-        "bits_per_band": r,
+        "bits_per_band": r_for(bands),
         "predicted_recall": round(predicted_recall(bands), 6),
         "min_band_matches": min_band_matches,
     }
@@ -440,7 +481,7 @@ def _resolve_banding(
                                             0.90)
     tuned = tuned_blocking(
         max(int(n_rows), 1000),
-        num_bands=config.num_bands or 64,
+        num_bands=config.num_bands,  # None → search the band grid
         min_band_matches=config.min_band_matches,
         target_candidates_per_row=config.target_candidates_per_row,
         **kwargs,

@@ -18,11 +18,33 @@ class TestTunedBlockingLaw:
     @given(n=st.integers(min_value=1_000, max_value=10**12))
     @settings(max_examples=200, deadline=None)
     def test_invariants(self, n):
+        from clkhash_spark.pipeline import _BAND_GRID
+
         t = tuned_blocking(n)
         assert 14 <= t["bits_per_band"] <= 48
-        assert t["num_bands"] in (64, 128, 256, 512)
+        assert t["num_bands"] in _BAND_GRID
         assert t["predicted_recall"] >= 0.995
         assert t["min_band_matches"] == 2
+
+    @given(n=st.integers(min_value=1_000, max_value=10**12))
+    @settings(max_examples=100, deadline=None)
+    def test_search_picks_minimal_feasible_bands(self, n):
+        """The searched band count must be the SMALLEST grid entry
+        meeting the recall target (banded rows are shuffle volume)."""
+        from clkhash_spark.pipeline import _BAND_GRID
+
+        t = tuned_blocking(n)
+        smaller = [b for b in _BAND_GRID if b < t["num_bands"]]
+        if smaller:
+            # Pinning the next-smaller grid entry must trigger the
+            # doubling path (i.e. that band count misses the n-scaled
+            # budget — else the search would have chosen it).
+            prev = tuned_blocking(n, num_bands=smaller[-1])
+            assert prev["num_bands"] > smaller[-1], (n, t, prev)
+
+    def test_explicit_num_bands_never_shrinks(self):
+        t = tuned_blocking(600_000, num_bands=64)
+        assert t["num_bands"] >= 64
 
     @given(
         n=st.integers(min_value=1_000, max_value=10**11),
