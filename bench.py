@@ -126,7 +126,41 @@ def main() -> None:
     )
     extras["pipeline_f1"] = round(metrics["f1"], 6)
 
-    # q3-q6: dedup / text / similarity operators at sf.
+    # q3: two-party cross-linkage — the headline workload of a linkage
+    # engine (encode A + B under one secret → joint blocks → cross-party
+    # pairs → mutual-best 1-1 matching → clusters). 50% entity overlap;
+    # every true match is a near-duplicate variant pair.
+    from clkhash_spark.pipeline import run_linkage_two_party
+    from clkhash_spark.sources.webpages import synthetic_webpage_parties
+
+    two_party_rows = int(
+        os.environ.get("SPARK_GRAFT_TWO_PARTY_ROWS", "100000")
+    )
+    pa, pb, truth = synthetic_webpage_parties(
+        spark, two_party_rows // 2, overlap=0.5, seed=42
+    )
+    pa = pa.select("key", "text").persist()
+    pb = pb.select("key", "text").persist()
+    pa.count(), pb.count()
+    tp_config = LinkageConfig(
+        schema=webpages_schema(), secret="bench-secret", key_col="key",
+        target_candidates_per_row=5.0,
+    )
+
+    def run_two_party():
+        result = run_linkage_two_party(spark, pa, pb, tp_config)
+        result.pairs.persist()
+        extras["two_party_matched"] = result.pairs.count()
+        return result
+
+    timed("clk_two_party", run_two_party)
+    extras["two_party_rows"] = two_party_rows
+    extras["two_party_truth"] = truth
+    extras["two_party_rows_per_sec"] = round(
+        two_party_rows / timings["clk_two_party"], 1
+    )
+
+    # q4+: dedup / text / similarity operators at sf.
     timed("doc_exact_dedup", lambda: force(q_doc_exact_dedup(spark, SF_DIR)))
     timed(
         "doc_minhash_pairs",

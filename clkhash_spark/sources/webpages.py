@@ -153,3 +153,56 @@ def synthetic_webpages(
 def webpages_truth(webpages: DataFrame) -> DataFrame:
     """Ground-truth sidecar (url, entity_id)."""
     return webpages.select("url", "entity_id")
+
+
+def synthetic_webpage_parties(
+    spark: SparkSession,
+    entities_per_party: int,
+    overlap: float = 0.5,
+    seed: int = 42,
+    window: int = 10,
+    **fixture_kwargs,
+) -> tuple:
+    """Two overlapping record-linkage parties from the synthetic fixture
+    (the ``generate_overlapping_subsets`` pattern of the reference's
+    randomnames module, clkhash/randomnames.py:170-207, re-expressed
+    over the web-pages shape).
+
+    Party A holds variant 0 of its entities, party B variant 1 —
+    overlapping entities appear as *near-duplicate* records (different
+    ~1/12-word perturbations), never byte-identical, so cross-party
+    linkage exercises real approximate matching. ``overlap`` is the
+    fraction of each party's entities shared with the other; keys are
+    prefixed ``a:`` / ``b:`` so they stay distinct across parties.
+
+    Returns ``(party_a, party_b, shared_entities)`` — each party is a
+    DataFrame (key, text, entity_id) of exactly ``entities_per_party``
+    rows; ``shared_entities`` is the ground-truth match count.
+    """
+    shared = int(entities_per_party * overlap)
+    total_windows = 2 * entities_per_party - shared
+    pages = synthetic_webpages(
+        spark, total_windows * window, seed=seed, window=window,
+        **fixture_kwargs,
+    )
+    # Clustered rows only (one per window per variant): singletons have
+    # entity_id == id with id % window >= cluster_size.
+    clustered = pages.where(F.col("entity_id") % window == 0)
+    win = (F.col("entity_id") / window).cast("long")
+
+    def party(prefix: str, variant: int, cond) -> DataFrame:
+        return (
+            clustered.where((F.col("variant") == variant) & cond)
+            .select(
+                F.concat(F.lit(prefix), F.col("url")).alias("key"),
+                "text",
+                "entity_id",
+            )
+        )
+
+    party_a = party("a:", 0, win < entities_per_party)
+    party_b = party(
+        "b:", 1,
+        (win >= entities_per_party - shared) & (win < total_windows),
+    )
+    return party_a, party_b, shared

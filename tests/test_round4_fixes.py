@@ -62,6 +62,69 @@ class TestAgreementEstimatorTail:
         assert a < 0.95, a
 
 
+class TestSyntheticParties:
+    def test_shapes_overlap_and_near_duplication(self, spark):
+        from clkhash_spark.sources.webpages import synthetic_webpage_parties
+
+        pa, pb, shared = synthetic_webpage_parties(
+            spark, 200, overlap=0.5, seed=42
+        )
+        assert shared == 100
+        assert pa.count() == 200 and pb.count() == 200
+        # Keys globally distinct across parties (a:/b: prefixes).
+        keys_a = {r["key"] for r in pa.select("key").collect()}
+        keys_b = {r["key"] for r in pb.select("key").collect()}
+        assert not keys_a & keys_b
+        ents_a = {r["entity_id"] for r in pa.select("entity_id").collect()}
+        ents_b = {r["entity_id"] for r in pb.select("entity_id").collect()}
+        assert len(ents_a & ents_b) == shared
+        # Overlapping entities are near-duplicate VARIANTS — different
+        # texts in (almost) every case, so cross-party linkage is real
+        # approximate matching, not an exact join. (A variant whose
+        # hash-picked perturbation positions all miss is possible at
+        # ~(11/12)^n_words per entity, hence the 90% bound, not 100%.)
+        joined = pa.select("entity_id", F.col("text").alias("ta")).join(
+            pb.select("entity_id", F.col("text").alias("tb")),
+            on="entity_id",
+        )
+        n_same = joined.where(F.col("ta") == F.col("tb")).count()
+        assert n_same <= shared // 10, n_same
+
+    def test_two_party_linkage_quality(self, spark):
+        from clkhash_spark.pipeline import (
+            LinkageConfig,
+            run_linkage_two_party,
+            webpages_schema,
+        )
+        from clkhash_spark.sources.webpages import synthetic_webpage_parties
+
+        pa, pb, shared = synthetic_webpage_parties(
+            spark, 500, overlap=0.5, seed=11
+        )
+        result = run_linkage_two_party(
+            spark,
+            pa.select("key", "text"),
+            pb.select("key", "text"),
+            LinkageConfig(
+                schema=webpages_schema(), secret="s", key_col="key",
+            ),
+        )
+        ent = lambda df, k: df.select(  # noqa: E731
+            F.col("key").alias(k), "entity_id"
+        )
+        matched = result.pairs.join(
+            ent(pa, "key_a").withColumnRenamed("entity_id", "ea"),
+            on="key_a",
+        ).join(
+            ent(pb, "key_b").withColumnRenamed("entity_id", "eb"),
+            on="key_b",
+        )
+        n_matched = matched.count()
+        n_correct = matched.where(F.col("ea") == F.col("eb")).count()
+        assert n_matched and n_correct / n_matched >= 0.99  # precision
+        assert n_correct / shared >= 0.98  # recall
+
+
 class TestHybridCcRound4:
     def test_force_distributed_contract_is_strict(self, spark):
         """``small_graph_edges=0`` must never take the driver path, even

@@ -33,9 +33,14 @@ from pyspark.sql import SparkSession
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--rows", type=int, default=100_000,
-                        help="synthetic web pages to link")
+                        help="synthetic web pages to link (two-party "
+                             "mode: total rows across both parties)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--secret", default="scaling-secret")
+    parser.add_argument("--two-party", action="store_true",
+                        help="run the cross-party linkage pipeline over "
+                             "two overlapping synthetic parties instead "
+                             "of single-table dedup")
     parser.add_argument("--json-out", default=None,
                         help="also write the JSON summary to this path")
     args = parser.parse_args()
@@ -50,6 +55,10 @@ def main() -> None:
     from clkhash_spark.pipeline import (LinkageConfig, run_linkage,
                                         webpages_schema)
     from clkhash_spark.sources.webpages import synthetic_webpages
+
+    if args.two_party:
+        run_two_party(spark, args, cores)
+        return
 
     pages = synthetic_webpages(spark, args.rows, seed=args.seed)
     pages = pages.select("url", "text").repartition(4 * cores).persist()
@@ -94,6 +103,106 @@ def main() -> None:
     # "clk:<stage>" group; with the event log enabled we can attribute
     # shuffle bytes/records to pipeline stages after the app stops (the
     # log is finalized by stop()).
+    event_dir = None
+    app_id = spark.sparkContext.applicationId
+    try:
+        if spark.conf.get("spark.eventLog.enabled", "false") == "true":
+            event_dir = spark.conf.get("spark.eventLog.dir")
+    except Exception:
+        event_dir = None
+    spark.stop()
+    if event_dir:
+        summary["shuffle_by_stage"] = parse_shuffle_metrics(
+            event_dir, app_id
+        )
+
+    line = json.dumps(summary)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as fp:
+            fp.write(line + "\n")
+
+
+def run_two_party(spark, args, cores: int) -> None:
+    """Two-party cross-linkage over overlapping synthetic parties: the
+    headline workload of a linkage engine at scale (the single-table
+    path deduplicates; this one matches A against B under one secret).
+
+    ``--rows`` is the TOTAL encoded rows: rows/2 entities per party,
+    50% overlap (rows/4 true cross-party matches, each a near-duplicate
+    variant pair — never byte-identical)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from clkhash_spark.pipeline import (LinkageConfig,
+                                        run_linkage_two_party,
+                                        webpages_schema)
+    from clkhash_spark.sources.webpages import synthetic_webpage_parties
+
+    entities = args.rows // 2
+    party_a, party_b, truth = synthetic_webpage_parties(
+        spark, entities, overlap=0.5, seed=args.seed
+    )
+    party_a = party_a.repartition(2 * cores).persist()
+    party_b = party_b.repartition(2 * cores).persist()
+    # Entity ground truth rides outside the timed pipeline input.
+    ent_a = party_a.select(F.col("key").alias("key_a"),
+                           F.col("entity_id").alias("_ent_a")).persist()
+    ent_b = party_b.select(F.col("key").alias("key_b"),
+                           F.col("entity_id").alias("_ent_b")).persist()
+    for df in (party_a, party_b, ent_a, ent_b):
+        df.count()  # materialize input outside the timed region
+
+    # Warm every Python worker before timing (same discipline as the
+    # single-table job: first pandas-UDF pass costs ~15 s across
+    # workers).
+    def _touch(batches):
+        import numpy  # noqa: F401
+
+        for batch in batches:
+            yield batch
+
+    spark.range(0, 4 * cores, 1, 4 * cores).mapInPandas(
+        _touch, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    config = LinkageConfig(
+        schema=webpages_schema(), secret=args.secret, key_col="key",
+        target_candidates_per_row=5.0,
+    )
+    t0 = _time.time()
+    result = run_linkage_two_party(
+        spark,
+        party_a.select("key", "text"),
+        party_b.select("key", "text"),
+        config,
+    )
+    result.pairs.persist()
+    n_matched = result.pairs.count()
+    pipeline_s = _time.time() - t0
+
+    correct = (
+        result.pairs.join(ent_a, on="key_a").join(ent_b, on="key_b")
+        .where(F.col("_ent_a") == F.col("_ent_b"))
+        .count()
+    )
+    summary = {
+        "mode": "two_party",
+        "cores": cores,
+        "rows": args.rows,
+        "rows_per_party": entities,
+        "truth_matches": truth,
+        "matched_pairs": n_matched,
+        "precision": round(correct / n_matched, 6) if n_matched else None,
+        "recall": round(correct / truth, 6) if truth else None,
+        "pipeline_seconds": round(pipeline_s, 2),
+        "pipeline_rows_per_sec": round(args.rows / pipeline_s, 1),
+        "stage_seconds": {k: v for k, v in result.metrics.items()
+                          if k.endswith("_seconds")},
+        "banding": result.metrics.get("banding"),
+    }
+
     event_dir = None
     app_id = spark.sparkContext.applicationId
     try:

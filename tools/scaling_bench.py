@@ -58,7 +58,7 @@ def build_zip() -> str:
     return ZIP_PATH
 
 
-def submit_command(cores: int, rows: int) -> list[str]:
+def submit_command(cores: int, rows: int, two_party: bool = False) -> list[str]:
     # Mirrors clkhash_spark.session.build_session, but on the submit
     # line — the job script itself only calls getOrCreate().
     confs = {
@@ -88,10 +88,12 @@ def submit_command(cores: int, rows: int) -> list[str]:
         cmd += ["--conf", f"{key}={value}"]
     cmd += [os.path.join(REPO, "tools", "linkage_job.py"),
             "--rows", str(rows)]
+    if two_party:
+        cmd.append("--two-party")
     return cmd
 
 
-def run_level_once(cores: int, rows: int) -> dict:
+def run_level_once(cores: int, rows: int, two_party: bool = False) -> dict:
     os.makedirs(EVENTLOG_DIR, exist_ok=True)
     env = dict(os.environ,
                PYSPARK_PYTHON=sys.executable,
@@ -99,7 +101,8 @@ def run_level_once(cores: int, rows: int) -> dict:
     # Keep the repo out of PYTHONPATH: clkhash_spark must resolve from
     # the --py-files zip, proving the shipped artifact is complete.
     env.pop("PYTHONPATH", None)
-    out = subprocess.run(submit_command(cores, rows), cwd="/tmp",
+    out = subprocess.run(submit_command(cores, rows, two_party),
+                         cwd="/tmp",
                          capture_output=True, text=True, timeout=1800,
                          env=env)
     if out.returncode != 0:
@@ -109,13 +112,20 @@ def run_level_once(cores: int, rows: int) -> dict:
     return json.loads(json_lines[-1])
 
 
-def run_level(cores: int, rows: int, repeats: int) -> dict:
+def run_level(
+    cores: int, rows: int, repeats: int, two_party: bool = False
+) -> dict:
     """Best-of-``repeats`` per metric (min seconds) for one level."""
-    runs = [run_level_once(cores, rows) for _ in range(repeats)]
+    runs = [run_level_once(cores, rows, two_party) for _ in range(repeats)]
     best = dict(runs[0])
-    for metric in ("encode_seconds", "pipeline_seconds"):
+    metrics = (("pipeline_seconds",) if two_party
+               else ("encode_seconds", "pipeline_seconds"))
+    for metric in metrics:
         best[metric] = min(r[metric] for r in runs)
-    best["encode_rows_per_sec"] = round(rows / best["encode_seconds"], 1)
+    if not two_party:
+        best["encode_rows_per_sec"] = round(
+            rows / best["encode_seconds"], 1
+        )
     best["pipeline_rows_per_sec"] = round(rows / best["pipeline_seconds"], 1)
     best["stage_seconds"] = {
         key: min(r["stage_seconds"][key] for r in runs)
@@ -128,14 +138,127 @@ def run_level(cores: int, rows: int, repeats: int) -> dict:
     return best
 
 
+def preserved_analysis(path: str) -> list:
+    """Carry hand-written '## Round-N analysis' sections across
+    regenerations (everything from the first such heading up to the
+    generated 'Submit line' footer)."""
+    if not os.path.exists(path):
+        return []
+    kept: list = []
+    keeping = False
+    with open(path) as fp:
+        for line in fp:
+            if line.startswith("## Round-") and "analysis" in line:
+                keeping = True
+            if line.startswith("Submit line"):
+                keeping = False
+            if keeping:
+                kept.append(line.rstrip("\n"))
+    return kept
+
+
+def run_two_party(rows: int, small: int, factor: int,
+                  repeats: int) -> None:
+    """Two-party linkage at two parallelism levels → BENCH-SCALING-2P.md."""
+    big = small * factor
+    low = run_level(small, rows, repeats, two_party=True)
+    high = run_level(big, rows, repeats, two_party=True)
+    eff = round(
+        (high["pipeline_rows_per_sec"] / low["pipeline_rows_per_sec"])
+        / factor, 3,
+    )
+    summary = {"mode": "two_party", "rows": rows,
+               "levels": [low, high],
+               "pipeline_scaling_efficiency": eff}
+    print(json.dumps(summary))
+
+    shuffle = high.get("shuffle_by_stage") or {}
+    lines = [
+        "# BENCH-SCALING-2P — two-party linkage at two parallelism levels",
+        "",
+        f"Cross-party pipeline (encode A + encode B → joint blocks → "
+        f"cross-party pairs → 1-1 matching → clusters) over "
+        f"{rows:,} total rows ({rows // 2:,} entities/party, 50% "
+        "overlap — every true match is a near-duplicate variant pair), "
+        "run via real `spark-submit --py-files dist/clkhash_spark.zip "
+        "tools/linkage_job.py --two-party`",
+        f"at local[{small}] vs local[{big}], best-of-{repeats} submits "
+        "per level (per-metric minimum).",
+        "",
+        f"| metric | local[{small}] | local[{big}] | speedup "
+        "| efficiency |",
+        "|---|---|---|---|---|",
+        "| pipeline rows/s | {:.0f} | {:.0f} | {:.2f}x | {:.3f} |".format(
+            low["pipeline_rows_per_sec"], high["pipeline_rows_per_sec"],
+            high["pipeline_rows_per_sec"] / low["pipeline_rows_per_sec"],
+            eff),
+        "",
+        "Quality at local[{k}]: precision {p}, recall {r} "
+        "({m:,} matched / {t:,} truth).".format(
+            k=big, p=high.get("precision"), r=high.get("recall"),
+            m=high.get("matched_pairs", 0),
+            t=high.get("truth_matches", 0)),
+        "",
+        "## Per-stage seconds (best runs)",
+        "",
+        "| stage | local[{}] s | local[{}] s | speedup |".format(
+            small, big),
+        "|---|---|---|---|",
+    ]
+    for key in ("clks_a_seconds", "clks_b_seconds", "kids_a_seconds",
+                "kids_b_seconds", "blocks_seconds", "pairs_seconds",
+                "clusters_seconds"):
+        lo = low["stage_seconds"].get(key)
+        hi = high["stage_seconds"].get(key)
+        if lo and hi:
+            lines.append(
+                f"| {key[:-8]} | {lo:.1f} | {hi:.1f} | {lo / hi:.2f}x |"
+            )
+    if shuffle:
+        lines += [
+            "",
+            "## Shuffle volume per stage (event-log task counters, "
+            f"local[{big}] fastest run)",
+            "",
+            "| stage | write MB | write B/input-row | shuffled records |",
+            "|---|---|---|---|",
+        ]
+        for group in sorted(shuffle):
+            s = shuffle[group]
+            lines.append(
+                "| {} | {:.1f} | {:.1f} | {:,} |".format(
+                    group.split(":", 1)[-1],
+                    s["write_bytes"] / 1e6,
+                    s["write_bytes"] / rows,
+                    s["write_records"],
+                )
+            )
+    lines += [
+        "",
+        "Submit line (level {k}): `{cmd}`".format(
+            k=small,
+            cmd=" ".join(submit_command(small, rows, two_party=True))),
+        "",
+        f"Raw: `{json.dumps(summary)}`",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH-SCALING-2P.md"), "w") as fp:
+        fp.write("\n".join(lines))
+
+
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     big = small * factor
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    mode = sys.argv[5] if len(sys.argv) > 5 else "single"
 
     build_zip()
+    if mode == "two_party":
+        run_two_party(rows, small, factor, repeats)
+        return
+
     low = run_level(small, rows, repeats)
     high = run_level(big, rows, repeats)
 
@@ -272,6 +395,11 @@ def main() -> None:
         ]
         lines.append("")
 
+    # Hand-written round-analysis sections survive regeneration.
+    out_path = os.path.join(REPO, "BENCH-SCALING.md")
+    kept = preserved_analysis(out_path)
+    if kept:
+        lines += kept + [""]
     lines += [
         "Submit line (level {k}): `{cmd}`".format(
             k=small, cmd=" ".join(submit_command(small, rows))),
@@ -279,7 +407,7 @@ def main() -> None:
         f"Raw: `{json.dumps(summary)}`",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH-SCALING.md"), "w") as fp:
+    with open(out_path, "w") as fp:
         fp.write("\n".join(lines))
 
 
