@@ -393,7 +393,7 @@ def ivf_cell_fixed(
 
 def kmeans_centroids(
     vectors: DataFrame,
-    num_centroids: int = 16,
+    num_centroids: Optional[int] = 16,
     iters: int = 8,
     sample_size: int = 20_000,
     key_col: str = "vec_id",
@@ -409,9 +409,21 @@ def kmeans_centroids(
     returned ``[num_centroids, dim]`` float64 array is broadcast into
     the assignment/probe UDFs as a literal.
 
+    ``num_centroids=None`` auto-sizes to ``clamp(n/8, 16, 65536)``:
+    recall at a fixed scan fraction RISES with quantizer granularity on
+    weakly-clustered corpora (measured on the sf0.1 embeddings at 1/4
+    corpus scanned: 8 cells → 0.50 recall@10, 64 → 0.70, 256 → 0.86 —
+    see COVERAGE.md), so cells are kept small (~8 vectors) until the
+    65536 cap bounds the driver-side centroid matmul (64-dim float64 ≈
+    32 MB) and the per-query probe cost; past the cap a two-level
+    coarse quantizer is the standard growth path.
+
     At 100 TB the sample read is one pushed-down top-k over the hash —
     the corpus is never collected.
     """
+    if num_centroids is None:
+        n = vectors.count()
+        num_centroids = max(16, min(n // 8, 65536))
     sample = (
         vectors.select(vec_col)
         .orderBy(F.xxhash64(F.col(key_col)))
@@ -419,6 +431,7 @@ def kmeans_centroids(
         .collect()
     )
     pts = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    num_centroids = max(1, min(num_centroids, len(pts)))
     centroids = pts[:num_centroids].copy()
     for _ in range(iters):
         assign = np.argmax(pts @ centroids.T, axis=1)
@@ -500,10 +513,15 @@ def ivf_topk(
     """
     assigned = ivf_assign(vectors, centroids, key_col, vec_col)
     probe = _nearest_centroids_udf(centroids, nprobe=nprobe)
+    # nprobe=1 uses the scalar-assign UDF (nothing to explode).
+    probe_col = (
+        probe(F.col(vec_col)).cast("int") if nprobe == 1
+        else F.explode(probe(F.col(vec_col)))
+    )
     query_cells = queries.select(
         F.col(query_key_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(probe(F.col(vec_col))).alias("centroid_id"),
+        probe_col.alias("centroid_id"),
     )
     joined = assigned.join(
         F.broadcast(query_cells), on="centroid_id"
