@@ -144,7 +144,6 @@ def main() -> None:
     pa.count(), pb.count()
     tp_config = LinkageConfig(
         schema=webpages_schema(), secret="bench-secret", key_col="key",
-        target_candidates_per_row=5.0,
     )
 
     def run_two_party():

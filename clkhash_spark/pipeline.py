@@ -67,19 +67,26 @@ def webpages_schema() -> Schema:
 # shuffle — b skinny rows per input record) is proportional to b, so
 # the tuner walks this grid upward and stops at the first band count
 # whose budget-derived bit depth still predicts the recall target.
-_BAND_GRID = (16, 20, 24, 28, 32, 40, 48, 64, 96, 128, 192, 256, 384, 512)
+_BAND_GRID = (16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96, 128, 192, 256,
+              384, 512)
 
 
 def tuned_blocking(
     n_rows: int,
     num_bands: Optional[int] = None,
     unrelated_agreement: float = 0.57,
-    # Empirical on fixtures: near-dup Dice >= 0.83 at fill 0.32 gives
-    # per-bit agreement ~0.93; pass 0.90 to plan for a Dice-0.76 tail.
-    duplicate_agreement: float = 0.93,
+    # CALIBRATED against measured recall, not assumed: a round-4
+    # counter-verified A/B at 600k rows (local[8], r=24) measured
+    # pair-miss 0.0099 at b=64 and 0.0201 at b=48, plus 0.0241 at
+    # b=56/r=26 — no value fits all three exactly (duplicate agreement
+    # is a DISTRIBUTION with a Dice≈0.76 tail, not a point), but 0.91
+    # stays within ~2x of every measurement (0.93, the typical-pair
+    # value, under-predicted the tail's misses 15x and let the search
+    # cut bands straight through the F1 gate: 0.9899 measured at b=48).
+    duplicate_agreement: float = 0.91,
     target_candidates_per_row: float = 20.0,
     min_band_matches: int = 2,
-    target_recall: float = 0.995,
+    target_recall: float = 0.9925,
 ) -> Dict[str, int]:
     """Scale-aware LSH band sizing.
 
@@ -103,18 +110,21 @@ def tuned_blocking(
     banded row is shuffle volume (b rows per record through the blocks
     exchange — the pipeline's dominant mover, 1.49 GB at 2M rows under
     the old fixed b=64), so the tuner picks the SMALLEST band count on
-    ``_BAND_GRID`` meeting the recall target. Fewer bands at a
-    budget-matched (slightly smaller) r trade banded-row volume for
-    none of the leakage budget: measured at 600k rows this moves
-    b=64→40-48 (−25-37% blocks-shuffle bytes) at equal F1.
+    ``_BAND_GRID`` meeting the recall target — never more bands than
+    the (calibrated) model needs, never fewer than the F1 gate allows.
 
     The recall target itself is volume-aware: the allowed per-pair miss
-    probability is ``min(1 - target_recall, max(1e-5, n/4e8))`` — a
+    probability is ``min(1 - target_recall, max(1e-5, n/1e8))`` — a
     marginal band costs O(n) shuffle but buys a fixed per-pair recall
     increment, so small inputs (where bands are nearly free) are held
     to near-certainty (miss ≤ 1e-5: pinned small-fixture oracles stay
-    exact) while web-scale inputs settle at the ``target_recall`` floor
-    (0.995 — comfortably above the F1 ≥ 0.99 gate).
+    exact) while large inputs settle at the ``target_recall`` floor
+    (0.9925 default, derived from the F1 ≥ 0.99 gate with margin for
+    the model's measured ~2x error band — see ``duplicate_agreement``).
+    With the tail-calibrated model this search CUTS bands only below
+    ~20k rows and ADDS them at scale (64 → 80-128 over 100k-4M rows):
+    the round-4 A/B that motivated the calibration measured F1 0.9899
+    (below gate) when bands were cut 64→48 at 600k.
 
     An explicit ``num_bands`` pins the start and only doubles upward
     (the pre-round-4 behavior) — never shrinks below what the caller
@@ -147,9 +157,11 @@ def tuned_blocking(
         return 1 - miss
 
     # Volume-aware miss budget (see docstring): near-certainty when
-    # bands are cheap, the target_recall floor when they are the
-    # dominant shuffle.
-    allowed_miss = min(1.0 - target_recall, max(1e-5, n_rows / 4e8))
+    # bands are cheap, a gate-derived ceiling when they are the
+    # dominant shuffle (P=1 linkage needs recall >= 0.9803 for
+    # F1 >= 0.99; the default 0.0075 ceiling leaves ~2.6x margin for
+    # the model's measured error band).
+    allowed_miss = min(1.0 - target_recall, max(1e-5, n_rows / 1e8))
 
     if num_bands is not None:
         bands = num_bands

@@ -41,6 +41,22 @@ def main() -> None:
                         help="run the cross-party linkage pipeline over "
                              "two overlapping synthetic parties instead "
                              "of single-table dedup")
+    # Default matches LinkageConfig (20/row). Round 3 ran the scaling
+    # bench at 5/row for a lighter pair join, but the deeper r the
+    # tighter budget forces (28 vs 24 bits at 600k) costs marginal-tail
+    # recall: measured F1 0.9878 at 5/row vs 0.9950 at 20/row (b=64,
+    # 600k). Quality gates the throughput numbers, so the bench now
+    # runs the same budget the library defaults to.
+    parser.add_argument("--target-candidates", type=float, default=20.0,
+                        help="scored-candidate budget per row for the "
+                             "banding law (join volume bounded at 3x)")
+    parser.add_argument("--num-bands", type=int, default=None,
+                        help="pin the band count (default: the law "
+                             "searches the volume-minimal count)")
+    parser.add_argument("--quality", action="store_true",
+                        help="also compute pairwise P/R/F1 vs the "
+                             "fixture ground truth (outside the timed "
+                             "region)")
     parser.add_argument("--json-out", default=None,
                         help="also write the JSON summary to this path")
     args = parser.parse_args()
@@ -83,7 +99,8 @@ def main() -> None:
     result = run_linkage(
         spark, pages,
         LinkageConfig(schema=webpages_schema(), secret=args.secret,
-                      target_candidates_per_row=5.0))
+                      num_bands=args.num_bands,
+                      target_candidates_per_row=args.target_candidates))
     result.clusters.write.format("noop").mode("overwrite").save()
     pipeline_s = time.time() - t0
 
@@ -98,6 +115,25 @@ def main() -> None:
                           if k.endswith("_seconds")},
         "banding": result.metrics.get("banding"),
     }
+
+    if args.quality:
+        # P/R/F1 vs the fixture's entity ground truth — outside the
+        # timed region (the A/B evidence that band-geometry changes
+        # leave quality unchanged).
+        from clkhash_spark.operators.evaluate import (cluster_pairs,
+                                                      pairwise_metrics,
+                                                      truth_pairs)
+        from clkhash_spark.sources.webpages import webpages_truth
+
+        truth = webpages_truth(
+            synthetic_webpages(spark, args.rows, seed=args.seed)
+        )
+        m = pairwise_metrics(
+            cluster_pairs(result.clusters, key_col="url"),
+            truth_pairs(truth),
+        )
+        summary["quality"] = {k: round(v, 6) if isinstance(v, float) else v
+                              for k, v in m.items()}
 
     # Per-stage shuffle counters: _StageRunner tags every job with a
     # "clk:<stage>" group; with the event log enabled we can attribute
@@ -169,7 +205,7 @@ def run_two_party(spark, args, cores: int) -> None:
 
     config = LinkageConfig(
         schema=webpages_schema(), secret=args.secret, key_col="key",
-        target_candidates_per_row=5.0,
+        target_candidates_per_row=args.target_candidates,
     )
     t0 = _time.time()
     result = run_linkage_two_party(
