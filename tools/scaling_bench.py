@@ -103,7 +103,8 @@ def run_level_once(cores: int, rows: int, two_party: bool = False) -> dict:
     env.pop("PYTHONPATH", None)
     out = subprocess.run(submit_command(cores, rows, two_party),
                          cwd="/tmp",
-                         capture_output=True, text=True, timeout=1800,
+                         # multi-million-row local[2] levels run >30 min
+                         capture_output=True, text=True, timeout=7200,
                          env=env)
     if out.returncode != 0:
         raise RuntimeError(f"level {cores} failed:\n{out.stderr[-3000:]}")
