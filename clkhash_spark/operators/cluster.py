@@ -183,14 +183,18 @@ def connected_components(
     materialization's checksum for free; at or below
     ``small_graph_edges`` the components are solved driver-side —
     edges arrive via Arrow (``toArrow``: 16 B/edge on the wire and in
-    numpy, ≤8 MB at the default gate, no per-Row Python objects) and
-    are labelled by one vectorized hook+jump pass instead of O(log n)
-    rounds of 3-4 Spark jobs each — at small/medium scale the rounds
-    are pure fixed latency (measured: ~16 s for 29k edges at
-    local[32]). Above the gate the standard distributed
-    large-star/small-star contraction runs; ``small_graph_edges=0``
-    always takes the distributed path (strict: even an empty edge set
-    never collects).
+    numpy, no per-Row Python objects — so the transfer is
+    16 B × the configured gate: ~8 MB at this function's 500k
+    default, ~64 MB at the 4,000,000-edge gate the linkage pipeline
+    passes via ``LinkageConfig.cluster_driver_gate_edges``, plus a
+    labels DataFrame of up to 2×gate rows sent back through
+    ``createDataFrame``) and are labelled by one vectorized hook+jump
+    pass instead of O(log n) rounds of 3-4 Spark jobs each — at
+    small/medium scale the rounds are pure fixed latency (measured:
+    ~16 s for 29k edges at local[32]). Above the gate the standard
+    distributed large-star/small-star contraction runs;
+    ``small_graph_edges=0`` always takes the distributed path
+    (strict: even an empty edge set never collects).
     """
     key_type = dict(pairs.dtypes)[key_a]
 

@@ -43,6 +43,10 @@ __all__ = [
     "kmeans_centroids",
     "ivf_assign",
     "ivf_topk",
+    "TwoLevelQuantizer",
+    "two_level_centroids",
+    "ivf_assign_two_level",
+    "ivf_topk_two_level",
 ]
 
 _QUANT = 1_000_000  # 1e6: float32 components quantize losslessly enough
@@ -391,6 +395,62 @@ def ivf_cell_fixed(
     return vectors.select(F.col(key_col), cell.alias("cell"))
 
 
+def _chunked_argmax(pts: np.ndarray, centroids: np.ndarray,
+                    chunk_bytes: int = 1 << 28) -> np.ndarray:
+    """Row-chunked ``argmax(pts @ centroids.T)`` — the dot matrix for
+    200k points x 25k centroids would be 40 GB materialized at once, so
+    bound it to ``chunk_bytes`` (256 MB default) per slab."""
+    k = len(centroids)
+    rows = max(1, chunk_bytes // max(1, k * 8))
+    out = np.empty(len(pts), dtype=np.int64)
+    for i in range(0, len(pts), rows):
+        out[i:i + rows] = np.argmax(pts[i:i + rows] @ centroids.T, axis=1)
+    return out
+
+
+def _lloyd(pts: np.ndarray, num_centroids: int, iters: int) -> np.ndarray:
+    """Vectorized Lloyd iterations with angular (unit-norm) centroids.
+
+    Init = first ``num_centroids`` points (the sample is already
+    hash-shuffled, so this is a deterministic pseudo-random init). The
+    update is one ``np.add.at`` scatter + bincount — O(n·d) per iter
+    with no per-centroid Python loop (the old loop was O(k·n) mask
+    scans, unusable at k≈25k). Empty cells keep their previous
+    centroid.
+    """
+    num_centroids = max(1, min(num_centroids, len(pts)))
+    centroids = pts[:num_centroids].copy()
+    for _ in range(iters):
+        assign = _chunked_argmax(pts, centroids)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, pts)
+        counts = np.bincount(assign, minlength=num_centroids)
+        nz = counts > 0
+        centroids[nz] = sums[nz] / counts[nz, None]
+        # normalize: assignment is by inner product, so cells are
+        # angular (matches the cosine/dot ranking downstream)
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids = centroids / norms
+    return centroids
+
+
+def _hash_ordered_sample(
+    vectors: DataFrame, sample_size: int, key_col: str, vec_col: str
+) -> np.ndarray:
+    """The ``sample_size`` rows with the smallest ``xxhash64(key)`` — a
+    seeded, order-independent pseudo-random draw (no RNG state,
+    reproducible on any cluster/partitioning). At 100 TB this is one
+    pushed-down top-k over the hash — the corpus is never collected."""
+    sample = (
+        vectors.select(vec_col)
+        .orderBy(F.xxhash64(F.col(key_col)))
+        .limit(sample_size)
+        .collect()
+    )
+    return np.array([r[vec_col] for r in sample], dtype=np.float64)
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     num_centroids: Optional[int] = 16,
@@ -398,16 +458,14 @@ def kmeans_centroids(
     sample_size: int = 20_000,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
+    points_per_centroid: int = 8,
 ) -> np.ndarray:
     """Deterministic Lloyd k-means on a hash-ordered sample.
 
-    The sample is the ``sample_size`` rows with the smallest
-    ``xxhash64(key)`` — a seeded, order-independent pseudo-random draw
-    (no RNG state, reproducible on any cluster/partitioning). Centroid
-    init = the first ``num_centroids`` sample rows. Training happens
-    driver-side in numpy (the sample is bounded, not the corpus); the
-    returned ``[num_centroids, dim]`` float64 array is broadcast into
-    the assignment/probe UDFs as a literal.
+    Centroid init = the first ``num_centroids`` sample rows. Training
+    happens driver-side in numpy (the sample is bounded, not the
+    corpus); the returned ``[num_centroids, dim]`` float64 array is
+    broadcast into the assignment/probe UDFs as a literal.
 
     ``num_centroids=None`` auto-sizes to ``clamp(n/8, 16, 65536)``:
     recall at a fixed scan fraction RISES with quantizer granularity on
@@ -415,36 +473,34 @@ def kmeans_centroids(
     corpus scanned: 8 cells → 0.50 recall@10, 64 → 0.70, 256 → 0.86 —
     see COVERAGE.md), so cells are kept small (~8 vectors) until the
     65536 cap bounds the driver-side centroid matmul (64-dim float64 ≈
-    32 MB) and the per-query probe cost; past the cap a two-level
-    coarse quantizer is the standard growth path.
-
-    At 100 TB the sample read is one pushed-down top-k over the hash —
-    the corpus is never collected.
+    32 MB) and the per-query probe cost. When auto-sizing, the sample
+    GROWS with the target — ``max(sample_size,
+    points_per_centroid * num_centroids)`` — so the fit never
+    degenerates to one-point-per-centroid (at the 65,536-cap worst
+    case that is a 524k-row collect: 64-dim float64 ≈ 268 MB driver
+    RAM, bounded by the cap). An *explicit* ``num_centroids`` larger
+    than the sample is clamped with a ``RuntimeWarning`` (never
+    silently). Past the 65,536-cell cap, :func:`two_level_centroids`
+    is the growth path (cells = c1 × branch, assignment cost
+    O(c1 + branch)).
     """
     if num_centroids is None:
         n = vectors.count()
         num_centroids = max(16, min(n // 8, 65536))
-    sample = (
-        vectors.select(vec_col)
-        .orderBy(F.xxhash64(F.col(key_col)))
-        .limit(sample_size)
-        .collect()
-    )
-    pts = np.array([r[vec_col] for r in sample], dtype=np.float64)
-    num_centroids = max(1, min(num_centroids, len(pts)))
-    centroids = pts[:num_centroids].copy()
-    for _ in range(iters):
-        assign = np.argmax(pts @ centroids.T, axis=1)
-        for c in range(num_centroids):
-            members = pts[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        # normalize: assignment is by inner product, so cells are
-        # angular (matches the cosine/dot ranking downstream)
-        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        centroids = centroids / norms
-    return centroids
+        sample_size = max(sample_size, points_per_centroid * num_centroids)
+    pts = _hash_ordered_sample(vectors, sample_size, key_col, vec_col)
+    if num_centroids > len(pts):
+        import warnings
+
+        warnings.warn(
+            f"kmeans_centroids: requested {num_centroids} centroids but "
+            f"the sample holds only {len(pts)} points; clamping to "
+            f"{len(pts)} — pass a larger sample_size (>= "
+            f"{points_per_centroid}x the centroid count) for a real fit",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return _lloyd(pts, num_centroids, iters)
 
 
 def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
@@ -527,6 +583,224 @@ def ivf_topk(
         F.broadcast(query_cells), on="centroid_id"
     ).where(F.col(key_col) != F.col(query_key_col))
 
+    scored = joined.select(
+        query_key_col,
+        key_col,
+        batched_quantized_dot(F.col("_qvec"), F.col(vec_col)).alias("dot_q"),
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("dot_q"), F.asc(key_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+class TwoLevelQuantizer:
+    """A fitted two-level (coarse × fine) IVF quantizer.
+
+    ``coarse`` is ``[c1, dim]`` unit-norm; ``fine`` is ``[c1, branch,
+    dim]`` (zero-padded where a coarse cell has fewer than ``branch``
+    sub-centroids, with ``valid`` marking real rows). Global cell id =
+    ``l1 * branch + l2`` — ids may have gaps; they only label cells.
+
+    Why two levels: a flat quantizer's assignment cost is O(cells) dots
+    per vector, which caps practical cell counts at ~65k (see
+    :func:`kmeans_centroids`). Here assignment is O(c1 + branch) — at
+    c1=4096, branch=4096 that is 8k dots for up to 16.7M cells, enough
+    to keep ~8 vectors/cell beyond 10^8 vectors. This is the standard
+    IVF growth path (hierarchical coarse quantization; cf. the
+    inverted-multi-index family).
+    """
+
+    def __init__(self, coarse: np.ndarray, fine: np.ndarray,
+                 valid: np.ndarray):
+        self.coarse = coarse
+        self.fine = fine
+        self.valid = valid
+
+    @property
+    def branch(self) -> int:
+        return self.fine.shape[1]
+
+    @property
+    def num_cells(self) -> int:
+        return int(self.valid.sum())
+
+    def assign_np(self, mat: np.ndarray,
+                  chunk_bytes: int = 1 << 26) -> np.ndarray:
+        """[n, dim] → int64 global cell ids, chunked so the gathered
+        fine blocks stay under ``chunk_bytes`` per slab."""
+        l1 = _chunked_argmax(mat, self.coarse)
+        branch, dim = self.fine.shape[1], self.fine.shape[2]
+        rows = max(1, chunk_bytes // max(1, branch * dim * 8))
+        l2 = np.empty(len(mat), dtype=np.int64)
+        for i in range(0, len(mat), rows):
+            sl = slice(i, i + rows)
+            blocks = self.fine[l1[sl]]          # [r, branch, dim]
+            dots = np.einsum("nd,nbd->nb", mat[sl], blocks)
+            dots[~self.valid[l1[sl]]] = -np.inf
+            l2[sl] = np.argmax(dots, axis=1)
+        return l1 * self.branch + l2
+
+    def probe_np(self, mat: np.ndarray, nprobe: int) -> list:
+        """[n, dim] → per-row list of up to ``nprobe`` global cell ids,
+        best-first. Probes ``min(c1, nprobe)`` coarse cells, ranks all
+        their sub-cells jointly (so a strong second coarse cell can
+        out-rank a weak sub-cell of the first)."""
+        c1 = len(self.coarse)
+        cp = min(c1, max(1, nprobe))
+        coarse_dots = mat @ self.coarse.T                   # [n, c1]
+        top_l1 = np.argsort(-coarse_dots, axis=1)[:, :cp]   # [n, cp]
+        blocks = self.fine[top_l1]                          # [n,cp,b,dim]
+        dots = np.einsum("nd,ncbd->ncb", mat, blocks)
+        dots[~self.valid[top_l1]] = -np.inf
+        flat = dots.reshape(len(mat), -1)                   # [n, cp*b]
+        order = np.argsort(-flat, axis=1)[:, :nprobe]
+        out = []
+        for i in range(len(mat)):
+            idx = order[i][flat[i, order[i]] > -np.inf]
+            cells = top_l1[i, idx // self.branch] * self.branch \
+                + idx % self.branch
+            out.append(cells.astype(np.int64))
+        return out
+
+
+def two_level_centroids(
+    vectors: DataFrame,
+    num_cells: Optional[int] = None,
+    branch: int = 64,
+    iters: int = 8,
+    sample_size: int = 20_000,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    points_per_cell: int = 4,
+    max_sample: int = 1_000_000,
+) -> TwoLevelQuantizer:
+    """Fit a :class:`TwoLevelQuantizer` on a hash-ordered sample.
+
+    ``num_cells=None`` auto-sizes to ``clamp(n/8, 256, 2^22)``. The
+    coarse level gets ``ceil(num_cells / branch)`` cells; each coarse
+    cell then gets up to ``branch`` sub-centroids fitted on ITS sample
+    members (sub-cell count scales with the cell's sample mass, so
+    dense regions get finer cells — the point of a data-adaptive
+    quantizer). The sample grows with the target
+    (``points_per_cell`` × cells) but is hard-capped at ``max_sample``
+    rows (64-dim float64: 512 MB driver RAM at the 1M default) with a
+    ``RuntimeWarning`` when the cap engages — past that the honest fit
+    needs fewer points per cell, never silently.
+    """
+    if num_cells is None:
+        n = vectors.count()
+        num_cells = max(256, min(n // 8, 1 << 22))
+    want = max(sample_size, points_per_cell * num_cells)
+    if want > max_sample:
+        import warnings
+
+        warnings.warn(
+            f"two_level_centroids: target {num_cells} cells wants a "
+            f"{want}-row sample; capping at max_sample={max_sample} "
+            f"(~{max_sample // num_cells} points/cell)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        want = max_sample
+    pts = _hash_ordered_sample(vectors, want, key_col, vec_col)
+    dim = pts.shape[1]
+    c1 = max(1, min(-(-num_cells // branch), len(pts)))
+    coarse = _lloyd(pts, c1, iters)
+    c1 = len(coarse)
+
+    l1 = _chunked_argmax(pts, coarse)
+    order = np.argsort(l1, kind="stable")
+    bounds = np.searchsorted(l1[order], np.arange(c1 + 1))
+    fine = np.zeros((c1, branch, dim), dtype=np.float64)
+    valid = np.zeros((c1, branch), dtype=bool)
+    for c in range(c1):
+        members = pts[order[bounds[c]:bounds[c + 1]]]
+        if len(members) == 0:
+            # keep the cell addressable: its single sub-cell is the
+            # coarse centroid itself.
+            fine[c, 0] = coarse[c]
+            valid[c, 0] = True
+            continue
+        k2 = max(1, min(branch, len(members) // points_per_cell or 1))
+        sub = _lloyd(members, k2, iters)
+        fine[c, : len(sub)] = sub
+        valid[c, : len(sub)] = True
+    return TwoLevelQuantizer(coarse, fine, valid)
+
+
+def _two_level_udfs(quantizer: TwoLevelQuantizer, nprobe: int):
+    """Arrow-batched assignment / probe UDFs closing over the fitted
+    quantizer (broadcast to workers inside the serialized closure —
+    c1·branch·dim float64, bounded by the fit caps)."""
+    if nprobe == 1:
+
+        @F.pandas_udf(LongType())
+        def assign(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series(np.empty(0, dtype=np.int64))
+            mat = np.array(list(vecs), dtype=np.float64)
+            return pd.Series(quantizer.assign_np(mat))
+
+        return assign
+
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vecs), dtype=np.float64)
+        return pd.Series(quantizer.probe_np(mat, nprobe))
+
+    return probe
+
+
+def ivf_assign_two_level(
+    vectors: DataFrame,
+    quantizer: TwoLevelQuantizer,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach each vector's two-level IVF cell id (int64)."""
+    assign = _two_level_udfs(quantizer, nprobe=1)
+    return vectors.select(
+        F.col(key_col), F.col(vec_col),
+        assign(F.col(vec_col)).alias("centroid_id"),
+    )
+
+
+def ivf_topk_two_level(
+    vectors: DataFrame,
+    queries: DataFrame,
+    quantizer: TwoLevelQuantizer,
+    k: int = 10,
+    nprobe: int = 8,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k over a two-level IVF index — same plan shape as
+    :func:`ivf_topk` (corpus assigned once → reusable/partitionable;
+    queries explode to skinny (cell, query) rows and broadcast into the
+    cell join; quantized-int scoring, window top-k)."""
+    assigned = ivf_assign_two_level(vectors, quantizer, key_col, vec_col)
+    probe = _two_level_udfs(quantizer, nprobe=nprobe)
+    probe_col = (
+        probe(F.col(vec_col)) if nprobe == 1
+        else F.explode(probe(F.col(vec_col)))
+    )
+    query_cells = queries.select(
+        F.col(query_key_col),
+        F.col(vec_col).alias("_qvec"),
+        probe_col.alias("centroid_id"),
+    )
+    joined = assigned.join(
+        F.broadcast(query_cells), on="centroid_id"
+    ).where(F.col(key_col) != F.col(query_key_col))
     scored = joined.select(
         query_key_col,
         key_col,

@@ -1,0 +1,212 @@
+"""Round-5 fixes: IVF auto-sizer sample scaling (no silent clamp) and
+the two-level coarse quantizer growth path.
+
+Round-4 VERDICT "What's wrong #1": kmeans_centroids(num_centroids=None)
+targeted n/8 cells but silently clamped to the 20k sample for n > 160k,
+making the fit a no-op exactly where the docstring's scale story
+applied. The fix scales the sample with the target and warns (never
+silently) when an explicit request exceeds the sample; past the 65,536
+flat-cell cap the new two-level quantizer keeps ~8 vectors/cell with
+O(c1 + branch) assignment cost.
+"""
+
+import os
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from clkhash_spark.operators import similarity as S
+
+SF = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
+
+pytestmark = [
+    pytest.mark.spark,
+    pytest.mark.skipif(
+        not os.path.isdir(SF), reason="driver testdata not available"
+    ),
+]
+
+
+def _clustered_corpus(spark, n, dim=8, n_centers=2000, noise=0.05,
+                      parts=8):
+    """Deterministic clustered corpus: unit-norm centers + hash jitter.
+
+    No RNG state crosses the boundary — each row's vector is a pure
+    function of its id, so the corpus is identical on any partitioning.
+    """
+    centers = np.random.default_rng(7).standard_normal((n_centers, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            base = centers[ids % n_centers]
+            d_idx = np.arange(dim)
+            jit = (
+                ((ids[:, None] * 2654435761 + d_idx[None, :] * 40503)
+                 % (2 ** 31)) / 2 ** 31 - 0.5
+            ) * noise
+            vecs = (base + jit).astype(np.float32)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(vecs)}
+            )
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, "vec_id long, embedding array<float>"
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).cache()
+    df.count()
+    return df
+
+
+class TestKmeansAutoSample:
+    """The auto-sizer must deliver ~n/8 REAL cells past the old 160k
+    saturation point (n/8 > 20_000), with the sample scaled to match."""
+
+    def test_auto_size_past_old_sample_cap(self, spark):
+        n = 168_000  # n/8 = 21_000 > the 20k default sample
+        corpus = _clustered_corpus(spark, n).persist()
+        corpus.count()
+        try:
+            with warnings.catch_warnings():
+                # silent-clamp regression guard (clamp warns RuntimeWarning)
+                warnings.simplefilter("error", RuntimeWarning)
+                cents = S.kmeans_centroids(
+                    corpus, num_centroids=None, iters=2
+                )
+            assert cents.shape == (21_000, 8)
+            # the fit must be a real Lloyd refinement, not
+            # "every sample point is its own centroid": with 2000 true
+            # centers and 21k cells, cells concentrate near centers —
+            # every centroid is unit-norm and distinct from raw points.
+            norms = np.linalg.norm(cents, axis=1)
+            assert np.allclose(norms, 1.0)
+
+            # recall floor at a tiny scan fraction: probing 20 of 21k
+            # cells (~0.1% of the corpus) on clustered data.
+            queries = corpus.where("vec_id % 21000 = 0").selectExpr(
+                "vec_id as query_id", "embedding"
+            )
+            exact = {
+                (r["query_id"], r["vec_id"])
+                for r in S.brute_force_topk(
+                    corpus, queries, k=10
+                ).collect()
+            }
+            got = {
+                (r["query_id"], r["vec_id"])
+                for r in S.ivf_topk(
+                    corpus, queries, cents, k=10, nprobe=20
+                ).collect()
+            }
+            assert len(got & exact) / len(exact) >= 0.5
+        finally:
+            corpus.unpersist()
+
+    def test_explicit_overask_warns_not_silent(self, emb):
+        with pytest.warns(RuntimeWarning, match="clamping"):
+            cents = S.kmeans_centroids(
+                emb, num_centroids=5000, sample_size=100
+            )
+        assert cents.shape[0] == 100  # clamped, but loudly
+
+    def test_vectorized_lloyd_matches_small_fit(self, emb):
+        # determinism across calls (the old loop-based fit's contract).
+        a = S.kmeans_centroids(emb, num_centroids=8)
+        b = S.kmeans_centroids(emb, num_centroids=8)
+        assert np.array_equal(a, b)
+
+
+class TestTwoLevelQuantizer:
+    @pytest.fixture(scope="class")
+    def quantizer(self, emb):
+        return S.two_level_centroids(emb, num_cells=64, branch=16)
+
+    def test_fit_shape_and_determinism(self, emb, quantizer):
+        q = quantizer
+        assert q.coarse.shape[0] == 4  # ceil(64/16)
+        assert 4 <= q.num_cells <= 64  # adaptive: scales with cell mass
+        again = S.two_level_centroids(emb, num_cells=64, branch=16)
+        assert np.array_equal(q.coarse, again.coarse)
+        assert np.array_equal(q.fine, again.fine)
+        assert np.array_equal(q.valid, again.valid)
+
+    def test_probe1_equals_assign(self, emb, quantizer):
+        mat = np.array(
+            [r["embedding"] for r in emb.limit(50).collect()],
+            dtype=np.float64,
+        )
+        assigned = quantizer.assign_np(mat)
+        probed = quantizer.probe_np(mat, 1)
+        assert all(
+            len(p) == 1 and p[0] == a for p, a in zip(probed, assigned)
+        )
+
+    def test_assignment_total_and_valid_cells_only(self, emb, quantizer):
+        assigned = S.ivf_assign_two_level(emb, quantizer)
+        n = emb.count()
+        assert assigned.count() == n
+        cells = {r["centroid_id"]
+                 for r in assigned.select("centroid_id").distinct()
+                 .collect()}
+        valid_ids = {
+            int(c1 * quantizer.branch + c2)
+            for c1, c2 in zip(*np.nonzero(quantizer.valid))
+        }
+        assert cells <= valid_ids
+
+    def test_full_probe_matches_brute_force(self, emb, quantizer):
+        queries = emb.where("vec_id < 5").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        exact = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in S.brute_force_topk(emb, queries, k=10).collect()
+        }
+        approx = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in S.ivf_topk_two_level(
+                emb, queries, quantizer, k=10,
+                nprobe=quantizer.num_cells,
+            ).collect()
+        }
+        assert approx == exact
+
+    def test_partial_probe_recall_on_clustered_data(self, spark):
+        corpus = _clustered_corpus(
+            spark, 20_000, n_centers=200
+        ).persist()
+        corpus.count()
+        try:
+            q = S.two_level_centroids(corpus, num_cells=512, branch=32)
+            assert q.num_cells > 64  # a real multi-cell fit
+            queries = corpus.where("vec_id % 2000 = 0").selectExpr(
+                "vec_id as query_id", "embedding"
+            )
+            exact = {
+                (r["query_id"], r["vec_id"])
+                for r in S.brute_force_topk(
+                    corpus, queries, k=10
+                ).collect()
+            }
+            got = {
+                (r["query_id"], r["vec_id"])
+                for r in S.ivf_topk_two_level(
+                    corpus, queries, q, k=10, nprobe=16
+                ).collect()
+            }
+            assert len(got & exact) / len(exact) >= 0.5
+        finally:
+            corpus.unpersist()
+
+    def test_sample_cap_warns(self, emb):
+        with pytest.warns(RuntimeWarning, match="max_sample"):
+            S.two_level_centroids(
+                emb, num_cells=10_000, branch=64, max_sample=400,
+            )

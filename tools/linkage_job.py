@@ -151,6 +151,9 @@ def main() -> None:
         summary["shuffle_by_stage"] = parse_shuffle_metrics(
             event_dir, app_id
         )
+        summary["occupancy_by_stage"] = parse_stage_occupancy(
+            event_dir, app_id, cores
+        )
 
     line = json.dumps(summary)
     print(line)
@@ -251,12 +254,87 @@ def run_two_party(spark, args, cores: int) -> None:
         summary["shuffle_by_stage"] = parse_shuffle_metrics(
             event_dir, app_id
         )
+        summary["occupancy_by_stage"] = parse_stage_occupancy(
+            event_dir, app_id, cores
+        )
 
     line = json.dumps(summary)
     print(line)
     if args.json_out:
         with open(args.json_out, "w") as fp:
             fp.write(line + "\n")
+
+
+def parse_stage_occupancy(event_dir: str, app_id: str, cores: int) -> dict:
+    """Scheduler occupancy per job group from the event log:
+    ``sum(task finish - task launch) / (group wall span x cores)``.
+
+    Low occupancy means cores sat idle inside the stage's wall window —
+    fixed driver rounds, AQE barriers, Python-worker waves — while high
+    occupancy with a sub-linear speedup means the cores were busy but
+    each task ran slower (a shared-substrate ceiling: DRAM bandwidth /
+    SMT contention). This is the discriminator the round-4 scaling
+    debate needed: the two explanations predict opposite occupancy
+    signatures at the bigger core count.
+    """
+    import os
+
+    path = event_dir
+    for prefix in ("file://", "file:"):
+        if path.startswith(prefix):
+            path = path[len(prefix):]
+            break
+    log_path = os.path.join(path, app_id)
+    if not os.path.exists(log_path):
+        if os.path.exists(log_path + ".inprogress"):
+            log_path += ".inprogress"
+        else:
+            return {}
+
+    stage_group: dict = {}
+    spans: dict = {}
+    with open(log_path) as fp:
+        for raw in fp:
+            try:
+                event = json.loads(raw)
+            except json.JSONDecodeError:
+                continue
+            kind = event.get("Event")
+            if kind == "SparkListenerJobStart":
+                group = (event.get("Properties") or {}).get(
+                    "spark.jobGroup.id"
+                )
+                for info in event.get("Stage Infos", []):
+                    stage_group.setdefault(info["Stage ID"], group)
+            elif kind == "SparkListenerTaskEnd":
+                info = event.get("Task Info") or {}
+                group = stage_group.get(event.get("Stage ID"))
+                if group is None:
+                    continue
+                launch = info.get("Launch Time")
+                finish = info.get("Finish Time")
+                if not launch or not finish:
+                    continue
+                entry = spans.setdefault(
+                    group,
+                    {"task_ms": 0, "first_launch": launch,
+                     "last_finish": finish},
+                )
+                entry["task_ms"] += finish - launch
+                entry["first_launch"] = min(entry["first_launch"], launch)
+                entry["last_finish"] = max(entry["last_finish"], finish)
+
+    out = {}
+    for group, entry in spans.items():
+        wall_s = (entry["last_finish"] - entry["first_launch"]) / 1000.0
+        task_s = entry["task_ms"] / 1000.0
+        out[group] = {
+            "task_seconds": round(task_s, 2),
+            "wall_seconds": round(wall_s, 2),
+            "occupancy": round(task_s / (wall_s * cores), 3)
+            if wall_s > 0 else None,
+        }
+    return out
 
 
 def parse_shuffle_metrics(event_dir: str, app_id: str) -> dict:

@@ -135,6 +135,7 @@ def run_level(
     # from the fastest pipeline run (all runs agree modulo AQE wiggle).
     fastest = min(runs, key=lambda r: r["pipeline_seconds"])
     best["shuffle_by_stage"] = fastest.get("shuffle_by_stage", {})
+    best["occupancy_by_stage"] = fastest.get("occupancy_by_stage", {})
     best["repeats"] = repeats
     return best
 
@@ -368,6 +369,40 @@ def main() -> None:
                     s["write_records"],
                     f"{secs:.1f}" if secs else "-",
                     f"{total_mb / secs:.0f}" if secs else "-",
+                )
+            )
+        lines.append("")
+
+    # --- scheduler occupancy: task-time / (wall x cores) per stage ---
+    occ_lo = low.get("occupancy_by_stage") or {}
+    occ_hi = high.get("occupancy_by_stage") or {}
+    if occ_lo or occ_hi:
+        lines += [
+            "## Scheduler occupancy per stage (event log: "
+            "sum(task finish-launch) / (stage wall x cores), "
+            "fastest run per level)",
+            "",
+            "Low occupancy at the big level = cores idle inside the "
+            "stage window (driver rounds, AQE barriers, worker waves); "
+            "high occupancy with sub-linear speedup = cores busy but "
+            "slower per task (shared-substrate ceiling).",
+            "",
+            f"| stage | local[{small}] occ | local[{big}] occ "
+            "| task-s ratio (lo/hi) |",
+            "|---|---|---|---|",
+        ]
+        for group in sorted(set(occ_lo) | set(occ_hi)):
+            lo_e, hi_e = occ_lo.get(group), occ_hi.get(group)
+            ratio = (
+                f"{lo_e['task_seconds'] / hi_e['task_seconds']:.2f}x"
+                if lo_e and hi_e and hi_e["task_seconds"] else "-"
+            )
+            lines.append(
+                "| {} | {} | {} | {} |".format(
+                    group.split(":", 1)[-1],
+                    f"{lo_e['occupancy']:.2f}" if lo_e else "-",
+                    f"{hi_e['occupancy']:.2f}" if hi_e else "-",
+                    ratio,
                 )
             )
         lines.append("")
