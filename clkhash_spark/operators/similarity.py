@@ -43,6 +43,9 @@ __all__ = [
     "kmeans_centroids",
     "ivf_assign",
     "ivf_topk",
+    "ivf_cell_fixed_with_vec",
+    "ivf_probe_fixed",
+    "ivf_topk_fixed",
     "TwoLevelQuantizer",
     "two_level_centroids",
     "ivf_assign_two_level",
@@ -378,6 +381,15 @@ def ivf_cell_fixed(
     """Assign each vector to its fixed-integer-centroid cell (1-based),
     argmax of the quantized integer dot — bit-exact across engines;
     ties break to the lowest cell index (first max)."""
+    cell = _fixed_cell_expr(num_centroids, dim, seed, vec_col)
+    return vectors.select(F.col(key_col), cell.alias("cell"))
+
+
+def _fixed_centroid_dots(
+    num_centroids: int, dim: int, seed: int, vec_col: str
+) -> list:
+    """Quantized integer dot of ``vec_col`` against each fixed centroid
+    — pure Catalyst expressions, one list entry per cell."""
     cents = fixed_integer_centroids(num_centroids, dim, seed)
     qvec = _quantize(F.col(vec_col))
     dots = []
@@ -390,9 +402,15 @@ def ivf_cell_fixed(
                 lambda acc, x: acc + x,
             )
         )
-    arr = F.array(*dots)
-    cell = F.array_position(arr, F.array_max(arr))
-    return vectors.select(F.col(key_col), cell.alias("cell"))
+    return dots
+
+
+def _fixed_cell_expr(
+    num_centroids: int, dim: int, seed: int, vec_col: str
+) -> Column:
+    """1-based argmax cell as a pure projection (no shuffle, no join)."""
+    arr = F.array(*_fixed_centroid_dots(num_centroids, dim, seed, vec_col))
+    return F.array_position(arr, F.array_max(arr))
 
 
 def _chunked_argmax(pts: np.ndarray, centroids: np.ndarray,
@@ -449,6 +467,99 @@ def _hash_ordered_sample(
         .collect()
     )
     return np.array([r[vec_col] for r in sample], dtype=np.float64)
+
+
+def ivf_cell_fixed_with_vec(
+    vectors: DataFrame,
+    num_centroids: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_cell_fixed` keeping the embedding column — the cell
+    is a pure projection of the vector, so this stays a zero-shuffle
+    select (no join back to the source)."""
+    cell = _fixed_cell_expr(num_centroids, dim, seed, vec_col)
+    return vectors.select(
+        F.col(key_col), F.col(vec_col), cell.alias("cell")
+    )
+
+
+def ivf_probe_fixed(
+    vectors: DataFrame,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode each vector to its ``nprobe`` best fixed-centroid cells.
+
+    Ranking is (quantized integer dot DESC, cell index ASC) — bit-exact
+    in any engine, so the probe step itself is oracle-checkable. Pure
+    Catalyst expressions: the (-dot, cell) structs are sorted with
+    ``sort_array`` (struct ordering is field-by-field) and sliced.
+    """
+    dots = _fixed_centroid_dots(num_centroids, dim, seed, vec_col)
+    pairs = F.array(*[
+        F.struct(
+            (F.lit(0).cast("long") - d).alias("nd"),
+            F.lit(i + 1).cast("long").alias("cell"),
+        )
+        for i, d in enumerate(dots)
+    ])
+    top = F.slice(F.sort_array(pairs), 1, nprobe)
+    return vectors.select(
+        F.col(key_col),
+        F.col(vec_col),
+        F.explode(F.transform(top, lambda s: s.getField("cell")))
+        .alias("cell"),
+    )
+
+
+def ivf_topk_fixed(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k over the FIXED integer coarse quantizer —
+    the oracle-checkable twin of :func:`ivf_topk` (same plan shape:
+    corpus assigned once, queries explode to skinny (cell, query) rows
+    broadcast into the cell join, integer-dot ranking). Each corpus
+    vector lives in exactly one cell and a query's probed cells are
+    distinct, so candidates need no dedup."""
+    corpus = ivf_cell_fixed_with_vec(
+        vectors, num_centroids, dim, seed, key_col, vec_col
+    )
+    probes = ivf_probe_fixed(
+        queries, num_centroids, nprobe, dim, seed, query_key_col, vec_col
+    ).select(
+        query_key_col, F.col(vec_col).alias("_qvec"), "cell"
+    )
+    joined = corpus.join(F.broadcast(probes), on="cell").where(
+        F.col(key_col) != F.col(query_key_col)
+    )
+    scored = joined.select(
+        query_key_col,
+        key_col,
+        batched_quantized_dot(F.col("_qvec"), F.col(vec_col)).alias("dot_q"),
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("dot_q"), F.asc(key_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def kmeans_centroids(

@@ -210,3 +210,36 @@ class TestTwoLevelQuantizer:
             S.two_level_centroids(
                 emb, num_cells=10_000, branch=64, max_sample=400,
             )
+
+
+class TestIvfTopkFixed:
+    """The oracle-checkable IVF probe path (emb_ivf_topk query)."""
+
+    def test_full_probe_matches_brute_force(self, spark, emb):
+        queries = emb.where("vec_id < 5").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        exact = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in S.brute_force_topk(emb, queries, k=10).collect()
+        }
+        approx = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in S.ivf_topk_fixed(
+                emb, queries, k=10, num_centroids=8, nprobe=8
+            ).collect()
+        }
+        assert approx == exact  # probing every cell == exhaustive scan
+
+    def test_probe_first_cell_is_assignment_cell(self, spark, emb):
+        # nprobe=1's probed cell must equal the cell the corpus
+        # assignment would give the same vector (same argmax rule).
+        probes = {
+            r["vec_id"]: r["cell"]
+            for r in S.ivf_probe_fixed(emb, nprobe=1).collect()
+        }
+        cells = {
+            r["vec_id"]: r["cell"]
+            for r in S.ivf_cell_fixed(emb).collect()
+        }
+        assert probes == cells

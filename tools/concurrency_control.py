@@ -30,7 +30,12 @@ phase wall. Efficiency := sum(seq pipeline_s) / max(conc pipeline_s)
 — in [1, 2]; /2 gives the 2-job independent-scaling efficiency that
 is directly comparable to the in-job 2->4-core half of the gate.
 
-Usage: python tools/concurrency_control.py [rows_per_job] [jobs]
+Usage: python tools/concurrency_control.py [rows_per_job] [jobs] [cores_per_job]
+
+cores_per_job moves the operating point: 2 jobs x local[2] probes the
+substrate at 4 active cores; 2 jobs x local[4] probes it at 8 — the
+same total core count as the single-job local[8] gate leg, which is
+the comparison that decides plan-vs-box at the gate's operating point.
 Appends a '## Round-N analysis'-style section payload to stdout as
 JSON; the narrative lands in BENCH-SCALING.md by hand (the numbers
 are one-shot controlled measurements, not a regenerable table).
@@ -52,12 +57,13 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from scaling_bench import build_zip, submit_command  # noqa: E402
 
 
-def job_command(rows: int, seed: int) -> list[str]:
-    cmd = submit_command(2, rows)
+def job_command(rows: int, seed: int, cores: int = 2) -> list[str]:
+    cmd = submit_command(cores, rows)
     return cmd + ["--seed", str(seed)]
 
 
-def run_phase(rows: int, seeds: list[int], concurrent: bool) -> dict:
+def run_phase(rows: int, seeds: list[int], concurrent: bool,
+              cores: int = 2) -> dict:
     env = dict(os.environ,
                PYSPARK_PYTHON=sys.executable,
                PYSPARK_DRIVER_PYTHON=sys.executable)
@@ -76,7 +82,7 @@ def run_phase(rows: int, seeds: list[int], concurrent: bool) -> dict:
             err_f = open(f"/tmp/conc-job-{seed}.err", "w+")
             procs.append((
                 subprocess.Popen(
-                    job_command(rows, seed), cwd="/tmp",
+                    job_command(rows, seed, cores), cwd="/tmp",
                     stdout=out_f, stderr=err_f, text=True, env=env,
                 ),
                 out_f, err_f, seed,
@@ -99,7 +105,7 @@ def run_phase(rows: int, seeds: list[int], concurrent: bool) -> dict:
     else:
         for seed in seeds:
             out = subprocess.run(
-                job_command(rows, seed), cwd="/tmp",
+                job_command(rows, seed, cores), cwd="/tmp",
                 capture_output=True, text=True, timeout=10800, env=env,
             )
             if out.returncode != 0:
@@ -136,11 +142,12 @@ def _last_json(stdout: str) -> dict:
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_jobs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     seeds = [101 + 101 * i for i in range(n_jobs)]
 
     build_zip()
-    seq = run_phase(rows, seeds, concurrent=False)
-    conc = run_phase(rows, seeds, concurrent=True)
+    seq = run_phase(rows, seeds, concurrent=False, cores=cores)
+    conc = run_phase(rows, seeds, concurrent=True, cores=cores)
 
     seq_sum = sum(j["pipeline_seconds"] for j in seq["jobs"])
     conc_max = max(j["pipeline_seconds"] for j in conc["jobs"])
@@ -149,6 +156,7 @@ def main() -> None:
         "experiment": "concurrent_independent_jobs_control",
         "rows_per_job": rows,
         "n_jobs": n_jobs,
+        "cores_per_job": cores,
         "sequential": seq,
         "concurrent": conc,
         # sum of sequential in-job walls / longest concurrent in-job
@@ -164,7 +172,7 @@ def main() -> None:
         ],
     }
     print(json.dumps(summary))
-    out_path = os.path.join(REPO, "concurrency_control.json")
+    out_path = os.path.join(REPO, f"concurrency_control_c{cores}.json")
     with open(out_path, "w") as fp:
         json.dump(summary, fp, indent=1)
 

@@ -150,6 +150,18 @@ def main() -> None:
          "capped union)", plan_of(two_party_pairs))
     )
 
+    # 10. IVF probe top-k — cell assignment is a pure projection (no
+    # join back to the source), probes explode to skinny (cell, query)
+    # rows broadcast into the cell join, integer-dot window ranking.
+    from clkhash_spark.operators.similarity import ivf_topk_fixed
+
+    sections.append(
+        ("ivf_topk_fixed (projection-only cell assign, broadcast "
+         "probes, co-cell scoring)",
+         plan_of(ivf_topk_fixed(emb, queries, k=10, num_centroids=8,
+                                nprobe=2)))
+    )
+
     lines = [
         "# PLANS — formatted physical plans of the key operators",
         "",

@@ -420,14 +420,13 @@ def main() -> None:
             "",
             "The probe is noisy on this shared VM (range across runs: "
             "64-181 GB/s at 32 procs); use it as a ceiling to compare "
-            "against, not as a precise number. If every stage's agg "
-            "MB/s sits orders of magnitude below it (they do — see the "
-            "counters above), the stages are NOT DRAM-bandwidth-bound "
-            "at this input size and residual inefficiency is fixed "
-            "per-stage latency (AQE barriers, Python-worker waves, "
-            "driver rounds), which amortizes with input size — see the "
-            "Round-3 analysis section (preserve it when regenerating "
-            "this file).",
+            "against, not as a precise number. Shuffle MB/s alone does "
+            "not settle bandwidth-boundedness (it omits Arrow batches, "
+            "hash tables, sorts); the discriminating evidence is the "
+            "occupancy table plus the concurrent-independent-jobs "
+            "control — see the Round-5 analysis section (hand-written "
+            "## Round-N analysis sections are preserved when "
+            "regenerating this file).",
         ]
         lines.append("")
 
