@@ -139,3 +139,35 @@ class TestPlanEvidence:
             ln for ln in plan.splitlines() if "Exchange" in ln
         ]
         assert all("url" not in ln for ln in ex_lines), ex_lines
+
+    def test_ivf_topk_fixed_projection_assign_broadcast_probes(
+        self, spark
+    ):
+        """IVF probe top-k: the corpus cell assignment is a pure
+        projection (no join back to the source scan), the exploded
+        query probes broadcast into the cell join, and the only
+        Exchange left is the final per-query window."""
+        from clkhash_spark.entry_queries import q_emb_ivf_topk
+
+        import re
+
+        plan = plan_of(q_emb_ivf_topk(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan  # probes join the corpus
+        # exactly one non-broadcast exchange: the rank window's
+        # hashpartitioning on query_id (cell assign adds none) —
+        # formatted output puts the node header "(N) Exchange" and its
+        # "Arguments: hashpartitioning(...)" on separate lines
+        shuffle_nodes = re.findall(r"\(\d+\) Exchange\b", plan)
+        assert len(shuffle_nodes) == 1, shuffle_nodes
+        args = [
+            ln for ln in plan.splitlines()
+            if "hashpartitioning(" in ln
+        ]
+        assert args and all("query_id" in ln for ln in args), args
+        # embeddings parquet is scanned exactly twice (corpus +
+        # queries); formatted output repeats each node in the tree and
+        # the detail list, so count detail headers only
+        scans = re.findall(r"\(\d+\) Scan parquet", plan)
+        assert len(scans) == 2, scans
