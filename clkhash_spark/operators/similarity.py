@@ -40,9 +40,11 @@ __all__ = [
     "hyperplane_signatures",
     "lsh_topk",
     "embedding_near_duplicates",
+    "embedding_near_duplicates_exact",
     "kmeans_centroids",
     "ivf_assign",
     "ivf_topk",
+    "ivf_topk_auto",
     "ivf_cell_fixed_with_vec",
     "ivf_probe_fixed",
     "ivf_topk_fixed",
@@ -924,6 +926,117 @@ def ivf_topk_two_level(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_topk_auto(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_cells: Optional[int] = None,
+    nprobe: Optional[int] = None,
+    flat_cell_cap: int = 65_536,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+) -> DataFrame:
+    """One-call IVF top-k that picks the quantizer for the corpus size.
+
+    ``num_cells=None`` targets ~8 vectors/cell (``clamp(n/8, 16, 2^22)``,
+    the recall-per-scan sizing COVERAGE.md measures). While the target
+    fits ``flat_cell_cap`` (the O(cells)-dots-per-vector assignment
+    budget of the flat path) this is exactly :func:`kmeans_centroids` +
+    :func:`ivf_topk`; beyond it the two-level (coarse × branch)
+    quantizer takes over with O(c1 + branch) assignment — same plan
+    shape either way (corpus assigned once, queries explode to skinny
+    broadcast probe rows, quantized-int scoring).
+
+    ``nprobe=None`` defaults to the quarter-probe of the flat sweep
+    (``ceil(cells/4)``, the 0.862-recall@0.25-scan point) on the flat
+    path; on the two-level path the probe list is kept bounded
+    (``clamp(cells//64, 8, 64)`` cells) because a quarter of millions
+    of cells is no longer a sensible explode width — tune per corpus.
+    """
+    if num_cells is None:
+        n = vectors.count()
+        num_cells = max(16, min(n // 8, 1 << 22))
+    if num_cells <= flat_cell_cap:
+        cents = kmeans_centroids(
+            vectors, num_centroids=num_cells,
+            key_col=key_col, vec_col=vec_col,
+        )
+        eff_probe = nprobe if nprobe is not None else -(-len(cents) // 4)
+        return ivf_topk(
+            vectors, queries, cents, k=k, nprobe=eff_probe,
+            key_col=key_col, vec_col=vec_col,
+            query_key_col=query_key_col,
+        )
+    quantizer = two_level_centroids(
+        vectors, num_cells=num_cells, key_col=key_col, vec_col=vec_col
+    )
+    eff_probe = (
+        nprobe if nprobe is not None
+        else max(8, min(64, quantizer.num_cells // 64))
+    )
+    return ivf_topk_two_level(
+        vectors, queries, quantizer, k=k, nprobe=eff_probe,
+        key_col=key_col, vec_col=vec_col, query_key_col=query_key_col,
+    )
+
+
+def embedding_near_duplicates_exact(
+    vectors: DataFrame,
+    threshold_pct: int = 20,
+    num_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs with an ENGINE-EXACT threshold test — the
+    oracle-checkable twin of :func:`embedding_near_duplicates`.
+
+    ``cos(a,b) >= t`` (``t = threshold_pct / 100``) is evaluated
+    entirely in integer arithmetic on the quantized vectors:
+    ``dot > 0  AND  10000·dot² >= threshold_pct²·|a|²·|b|²`` — both
+    sides exact integers (decimal(38,0) in Spark, HUGEINT in DuckDB),
+    so no float rounding can flip a boundary pair between engines.
+    Plan shape matches the float operator: one Arrow matmul for
+    signatures, norms computed once per VECTOR before the bucket
+    self-join (not per pair), skinny (vec_a, vec_b, dot_q) output.
+    """
+    with_norm = hyperplane_signatures(
+        vectors, num_planes, seed, dim, key_col, vec_col
+    ).withColumn(
+        "nq", batched_quantized_dot(F.col(vec_col), F.col(vec_col))
+    )
+    left = with_norm.select(
+        "bucket", F.col(key_col).alias("vec_a"),
+        F.col(vec_col).alias("emb_a"), F.col("nq").alias("_na"),
+    )
+    right = with_norm.select(
+        "bucket", F.col(key_col).alias("vec_b"),
+        F.col(vec_col).alias("emb_b"), F.col("nq").alias("_nb"),
+    )
+    scored = (
+        left.join(right, on="bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            batched_quantized_dot(
+                F.col("emb_a"), F.col("emb_b")
+            ).alias("dot_q"),
+            "_na", "_nb",
+        )
+    )
+    dec = "decimal(38,0)"
+    p2 = threshold_pct * threshold_pct
+    keep = (F.col("dot_q") > 0) & (
+        F.col("dot_q").cast(dec) * F.col("dot_q").cast(dec)
+        * F.lit(10_000).cast(dec)
+        >= F.lit(p2).cast(dec)
+        * F.col("_na").cast(dec) * F.col("_nb").cast(dec)
+    )
+    return scored.where(keep).select("vec_a", "vec_b", "dot_q")
 
 
 def embedding_near_duplicates(

@@ -243,3 +243,96 @@ class TestIvfTopkFixed:
             for r in S.ivf_cell_fixed(emb).collect()
         }
         assert probes == cells
+
+
+class TestIvfTopkAuto:
+    """One-call dispatch: flat k-means below the cell cap, two-level
+    above it — same ranking semantics either way."""
+
+    def test_flat_path_matches_explicit(self, spark, emb):
+        queries = emb.where("vec_id < 3").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        auto = S.ivf_topk_auto(
+            emb, queries, k=5, num_cells=8, nprobe=8
+        ).collect()
+        cents = S.kmeans_centroids(emb, num_centroids=8)
+        explicit = S.ivf_topk(
+            emb, queries, cents, k=5, nprobe=8
+        ).collect()
+        key = lambda rows: {
+            (r["query_id"], r["rank"]): r["vec_id"] for r in rows
+        }
+        assert key(auto) == key(explicit)
+
+    def test_full_probe_flat_equals_brute_force(self, spark, emb):
+        queries = emb.where("vec_id < 3").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        exact = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in S.brute_force_topk(emb, queries, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in S.ivf_topk_auto(
+                emb, queries, k=5, num_cells=8, nprobe=8
+            ).collect()
+        }
+        assert approx == exact
+
+    def test_dispatches_two_level_past_cap(self, spark, emb):
+        # force the two-level branch with a tiny artificial cap; the
+        # result must still be a valid top-k frame over real cells
+        queries = emb.where("vec_id < 3").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        out = S.ivf_topk_auto(
+            emb, queries, k=5, num_cells=16, nprobe=16,
+            flat_cell_cap=8,
+        )
+        rows = out.collect()
+        assert rows and {r["query_id"] for r in rows} <= {0, 1, 2}
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        for ranks in per_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+class TestNearDupExact:
+    """Integer-exact cosine threshold (oracle twin of the float path)."""
+
+    def test_matches_numpy_reference(self, spark, emb):
+        import itertools
+
+        rows = {
+            r["vec_id"]: np.floor(
+                np.asarray(r["embedding"], dtype=np.float64) * 1e6 + 0.5
+            ).astype(np.int64)
+            for r in emb.collect()
+        }
+        planes = np.array(
+            S.rademacher_planes(6, 64, 42), dtype=np.int64
+        ).T
+        weights = np.int64(1) << np.arange(6, dtype=np.int64)
+        buckets = {
+            k: int(((v @ planes >= 0).astype(np.int64) @ weights))
+            for k, v in rows.items()
+        }
+        expected = set()
+        by_bucket = {}
+        for k, b in buckets.items():
+            by_bucket.setdefault(b, []).append(k)
+        for members in by_bucket.values():
+            for a, b in itertools.combinations(sorted(members), 2):
+                dot = int(rows[a] @ rows[b])
+                na = int(rows[a] @ rows[a])
+                nb = int(rows[b] @ rows[b])
+                if dot > 0 and 10_000 * dot * dot >= 400 * na * nb:
+                    expected.add((a, b))
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in S.embedding_near_duplicates_exact(emb).collect()
+        }
+        assert got == expected and len(expected) > 0
