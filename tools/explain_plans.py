@@ -162,6 +162,19 @@ def main() -> None:
                                 nprobe=2)))
     )
 
+    # 11. integer-exact near-dup — norms computed once per vector
+    # BEFORE the bucket self-join; the threshold test is decimal(38)
+    # arithmetic, no float comparison anywhere.
+    from clkhash_spark.operators.similarity import (
+        embedding_near_duplicates_exact,
+    )
+
+    sections.append(
+        ("embedding_near_duplicates_exact (per-vector norms before "
+         "the bucket self-join, decimal(38) threshold)",
+         plan_of(embedding_near_duplicates_exact(emb)))
+    )
+
     lines = [
         "# PLANS — formatted physical plans of the key operators",
         "",
