@@ -56,6 +56,10 @@ def media_metadata(
         F.when(head == F.lit(b"\x89PNG".hex().upper()), "image/png")
         .when(head3 == F.lit(b"\xff\xd8\xff".hex().upper()), "image/jpeg")
         .when(head == F.lit(b"RIFF".hex().upper()), "audio/wav")
+        .when(head == F.lit(b"GIF8".hex().upper()), "image/gif")
+        .when(head == F.lit(b"%PDF".hex().upper()), "application/pdf")
+        .when(head == F.lit(b"OggS".hex().upper()), "audio/ogg")
+        .when(head3 == F.lit(b"ID3".hex().upper()), "audio/mpeg")
         .when(
             F.upper(F.decode(F.substring(media, 1, 4), "utf-8")) == "<HTM",
             "text/html",

@@ -19,10 +19,13 @@ from pyspark.sql import functions as F
 __all__ = [
     "STOPWORDS",
     "LANG_MARKERS",
+    "PII_PATTERNS",
     "token_counts",
     "quality_scores",
     "language_id",
     "fingerprints",
+    "repetition_scores",
+    "pii_scan",
 ]
 
 # Small fixed stopword list (quality signal, not linguistics).
@@ -135,6 +138,121 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         predicted.alias("lang_pred"),
         best["hits"].cast("int").alias("marker_hits"),
+    )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition / boilerplate signals per document.
+
+    ``dup_word_ratio`` / ``dup_bigram_ratio``: fraction of word (bigram)
+    occurrences that repeat an earlier occurrence — high values flag
+    templated or degenerate text. ``top_word_ratio``: share of the single
+    most frequent word.
+
+    Scale shape: the per-word counts go through ``explode`` →
+    two-level ``groupBy`` (both partial-aggregated map-side, so the
+    shuffle carries one row per *distinct* (doc, word), not per token);
+    the bigram ratio stays a per-row JVM expression
+    (``array_distinct`` is O(tokens) with no quadratic scan). A
+    ``transform(distinct, w -> count(filter(...)))`` formulation would
+    be O(tokens × distinct) per row — rejected for 100 TB.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_row = df.select(
+        "doc_id",
+        F.round(
+            F.when(
+                n >= 2,
+                1.0
+                - F.size(F.array_distinct(bigrams)).cast("double")
+                / F.size(bigrams),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_bigram_ratio"),
+    )
+    per_word = (
+        df.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("int").alias("n_words"),
+            F.count("*").cast("int").alias("n_distinct_words"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    # Left join keeps empty documents (explode drops them) at 0 ratios.
+    return (
+        per_row.join(per_word, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_distinct_words", F.lit(0)).alias(
+                "n_distinct_words"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    1.0
+                    - F.col("n_distinct_words").cast("double")
+                    / F.col("n_words"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_word_ratio"),
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.col("top_c").cast("double") / F.col("n_words"),
+                ).otherwise(0.0),
+                6,
+            ).alias("top_word_ratio"),
+            "dup_bigram_ratio",
+        )
+    )
+
+
+# PII patterns shared verbatim with the SQL oracle — RE2-compatible
+# (no backreferences / lookaround) so Java regex and DuckDB agree.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count PII-shaped substrings (emails / phone-like / IPv4) per doc.
+
+    Pure JVM ``regexp_extract_all`` — no Python in the path; the scrub
+    step for a real pipeline is ``regexp_replace`` with the same
+    patterns. Counts, not booleans, so downstream policy can threshold.
+    """
+    text = F.col(text_col)
+
+    def count(pat: str) -> Column:
+        return F.size(
+            F.regexp_extract_all(text, F.lit(pat), F.lit(0))
+        ).cast("int")
+
+    n_email = count(PII_PATTERNS["email"])
+    n_phone = count(PII_PATTERNS["phone"])
+    n_ipv4 = count(PII_PATTERNS["ipv4"])
+    return df.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ipv4.alias("n_ipv4"),
+        ((n_email + n_phone + n_ipv4) > 0).alias("has_pii"),
     )
 
 

@@ -175,6 +175,17 @@ def main() -> None:
          plan_of(embedding_near_duplicates_exact(emb)))
     )
 
+    # 12. repetition scores — explode shuffles one row per DISTINCT
+    # (doc, word) thanks to map-side partial aggregation; the bigram
+    # ratio never leaves the row (array_distinct is O(tokens)).
+    from clkhash_spark.operators.text import repetition_scores
+
+    sections.append(
+        ("repetition_scores (explode -> two-level partial agg; "
+         "per-row bigram ratio)",
+         plan_of(repetition_scores(docs)))
+    )
+
     lines = [
         "# PLANS — formatted physical plans of the key operators",
         "",
