@@ -53,6 +53,7 @@ def run_suite(repeat: int) -> tuple[dict, dict]:
     from pyspark.sql import functions as F
 
     from clkhash_spark.entry_queries import (
+        q_doc_dedup_groups,
         q_doc_exact_dedup,
         q_doc_minhash_pairs,
         q_doc_quality_scores,
@@ -181,6 +182,10 @@ def run_suite(repeat: int) -> tuple[dict, dict]:
     timed(
         "doc_minhash_pairs",
         lambda: force(q_doc_minhash_pairs(spark, SF_DIR)),
+    )
+    timed(
+        "doc_dedup_groups",
+        lambda: force(q_doc_dedup_groups(spark, SF_DIR)),
     )
     timed(
         "doc_quality_scores",
