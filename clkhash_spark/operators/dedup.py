@@ -94,18 +94,29 @@ def _md5_hash64(value: Column, salt: Column) -> Column:
     ).cast("long")
 
 
-_MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime
-_MINHASH_BASE_MOD = 1 << 31
+# The affine maps live in GF(p) with p = 2^31 - 1 (Mersenne prime):
+# shingle base hashes and coefficients are both < p, so a*h + b < 2^62
+# is exact in int64 for Spark, DuckDB, and numpy alike — and, unlike a
+# small-coefficient map over a huge modulus, (a*h + b) mod p genuinely
+# scrambles the ORDER of the base hashes. (A previous construction used
+# a,b < 2^31 against p = 2^61-1; a*h + b then wraps the modulus at most
+# once, the map is near-monotonic in h, every "permutation" picks the
+# same globally-minimal shingle, and the signature agreement collapses
+# to ~{0,1} — not a Jaccard estimator. Caught by the unbiasedness
+# property test in tests/test_round5_ops.py.)
+_MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31 - 1
+_MINHASH_BASE_MOD = (1 << 31) - 1  # base hashes live in [0, p)
 
 
 def minhash_coefficients(num_hashes: int, seed: int = 42):
-    """Driver-derived affine coefficients (a_i odd < 2^30, b_i < 2^31).
+    """Driver-derived affine coefficients a_i ∈ [1, p), b_i ∈ [0, p).
 
     One md5 per *shingle* plus ``num_hashes`` integer affine maps replaces
-    ``num_hashes`` md5 calls per shingle — the standard universal-hashing
-    MinHash construction. Derived from sha256 so any engine (or a SQL
-    oracle) regenerates them; bounds keep ``a*h + b < 2^62`` (no BIGINT
-    overflow anywhere).
+    ``num_hashes`` md5 calls per shingle — the standard Carter-Wegman
+    universal-hashing MinHash construction over GF(2^31-1). Derived from
+    sha256 so any engine (or a SQL oracle) regenerates them; full-field
+    ``a`` is what makes each map reorder the domain (see the modulus
+    note above).
     """
     import hashlib
 
@@ -114,8 +125,8 @@ def minhash_coefficients(num_hashes: int, seed: int = 42):
         digest = hashlib.sha256(
             f"clkhash-spark-minhash:{seed}:{i}".encode()
         ).digest()
-        a = 1 + 2 * (int.from_bytes(digest[:8], "big") % (1 << 29))
-        b = int.from_bytes(digest[8:16], "big") % (1 << 31)
+        a = 1 + int.from_bytes(digest[:8], "big") % (_MINHASH_PRIME - 1)
+        b = int.from_bytes(digest[8:16], "big") % _MINHASH_PRIME
         coeffs.append((a, b))
     return coeffs
 

@@ -117,6 +117,82 @@ class TestDedupGroups:
         assert n_keep <= n_docs
 
 
+class TestMinHashUnbiased:
+    """The estimator property the original construction silently broke.
+
+    With a,b < 2^31 against p = 2^61-1, a*h+b wrapped the modulus at
+    most once, the affine map stayed near-monotonic in h, every
+    "permutation" picked the same globally-minimal shingle, and
+    signature agreement collapsed to ~{0,1} (toy J=1/3 sets measured
+    0/64 agreeing positions). The fixed construction works in
+    GF(2^31-1) with full-field a — this test pins the estimator's
+    unbiasedness so no future "optimization" can regress it.
+    """
+
+    def test_agreement_tracks_jaccard(self):
+        import hashlib
+
+        import numpy as np
+
+        from clkhash_spark.operators.dedup import (
+            _MINHASH_BASE_MOD,
+            _MINHASH_PRIME,
+            minhash_coefficients,
+        )
+
+        coeffs = minhash_coefficients(128)
+        a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+        b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+
+        def base(s: str) -> int:
+            return (
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                % _MINHASH_BASE_MOD
+            )
+
+        def sig(items):
+            h = np.array(sorted({base(s) for s in items}), dtype=np.int64)
+            vals = (
+                h[:, None] * a_vec[None, :] + b_vec[None, :]
+            ) % _MINHASH_PRIME
+            assert vals.min() >= 0  # no int64 overflow anywhere
+            return vals.min(axis=0)
+
+        for target in (0.2, 0.5, 0.8):
+            ests = []
+            for trial in range(10):
+                shared = [
+                    f"sh{target}_{trial}_{i}"
+                    for i in range(int(100 * target))
+                ]
+                a_set = set(shared) | {
+                    f"a{trial}_{i}" for i in range(100 - len(shared))
+                }
+                b_set = set(shared) | {
+                    f"b{trial}_{i}" for i in range(100 - len(shared))
+                }
+                true_j = len(a_set & b_set) / len(a_set | b_set)
+                ests.append(
+                    (sig(a_set) == sig(b_set)).mean() - true_j
+                )
+            bias = float(np.mean(ests))
+            # 128 hashes x 10 trials: |bias| ~ N(0, 0.013); 0.05 is 4 sigma
+            assert abs(bias) < 0.05, (target, bias)
+
+    def test_full_field_coefficients(self):
+        from clkhash_spark.operators.dedup import (
+            _MINHASH_PRIME,
+            minhash_coefficients,
+        )
+
+        coeffs = minhash_coefficients(64)
+        # a must range over the full field — small-a maps are the broken
+        # near-monotonic regime.
+        assert max(a for a, _ in coeffs) > _MINHASH_PRIME // 2
+        assert all(1 <= a < _MINHASH_PRIME for a, _ in coeffs)
+        assert all(0 <= b < _MINHASH_PRIME for _, b in coeffs)
+
+
 class TestMediaSniffer:
     def test_magic_kinds(self, spark):
         blobs = [

@@ -1,0 +1,220 @@
+"""Scaling evidence for the document-ops families (near-dedup, ANN).
+
+Mirrors tools/scaling_bench.py's protocol for the CLK pipeline: the
+identical workload submitted via real ``spark-submit --master local[k]
+--py-files dist/clkhash_spark.zip`` at two parallelism levels on the
+same input, best-of-N submits per level (per-metric minimum — noise
+only ever adds time), efficiency = (thr_4N / thr_N) / factor.
+
+Usage:
+    python tools/docops_scaling.py MODE ROWS [small] [factor] [repeats]
+
+MODE is ``dedup`` or ``ann``. Writes/updates the matching section of
+BENCH-DOCOPS.md (the other mode's section is preserved) and prints one
+JSON summary line.
+
+Run on a quiet box; see scaling_bench.py's noise discipline notes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_bench import (  # noqa: E402
+    ZIP_PATH,
+    build_zip,
+    spark_submit_bin,
+)
+
+REPORT = os.path.join(REPO, "BENCH-DOCOPS.md")
+
+
+def submit_command(cores: int, mode: str, rows: int) -> list[str]:
+    confs = {
+        "spark.sql.shuffle.partitions": str(max(2 * cores, 8)),
+        "spark.default.parallelism": str(cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.ui.enabled": "false",
+    }
+    cmd = [spark_submit_bin(), "--master", f"local[{cores}]",
+           "--py-files", ZIP_PATH]
+    for key, value in confs.items():
+        cmd += ["--conf", f"{key}={value}"]
+    cmd += [os.path.join(REPO, "tools", "docops_job.py"),
+            "--mode", mode, "--rows", str(rows)]
+    return cmd
+
+
+def run_level_once(cores: int, mode: str, rows: int) -> dict:
+    env = dict(os.environ,
+               PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    env.pop("PYTHONPATH", None)  # the zip must be self-sufficient
+    out = subprocess.run(submit_command(cores, mode, rows), cwd="/tmp",
+                         capture_output=True, text=True, timeout=7200,
+                         env=env)
+    if out.returncode != 0:
+        raise RuntimeError(f"level {cores} failed:\n{out.stderr[-3000:]}")
+    json_lines = [ln for ln in out.stdout.strip().splitlines()
+                  if ln.startswith("{")]
+    return json.loads(json_lines[-1])
+
+
+TIMING_KEYS = {
+    "dedup": ("pairs_seconds", "cc_seconds", "dedup_seconds"),
+    "ann": ("brute_seconds", "lsh_seconds", "ivf_seconds"),
+}
+THROUGHPUT_KEY = {"dedup": "dedup_rows_per_sec", "ann": None}
+
+
+def run_level(cores: int, mode: str, rows: int, repeats: int) -> dict:
+    runs = [run_level_once(cores, mode, rows) for _ in range(repeats)]
+    best = dict(runs[0])
+    for key in TIMING_KEYS[mode]:
+        best[key] = min(r[key] for r in runs)
+    if mode == "dedup":
+        best["dedup_rows_per_sec"] = round(
+            rows / best["dedup_seconds"], 1
+        )
+    else:
+        best["lsh_rows_per_sec"] = round(rows / best["lsh_seconds"], 1)
+        best["ivf_rows_per_sec"] = round(rows / best["ivf_seconds"], 1)
+    best["repeats"] = repeats
+    return best
+
+
+def section_lines(mode: str, rows: int, small: int, big: int,
+                  repeats: int, low: dict, high: dict,
+                  effs: dict) -> list[str]:
+    lines = [f"## {mode} — {rows:,} rows, local[{small}] vs local[{big}], "
+             f"best-of-{repeats}", ""]
+    if mode == "dedup":
+        lines += [
+            "MinHash(64) → 16-band LSH → signature-verified pairs → "
+            "connected components → keep-list, over synthetic web pages "
+            "(~30% of rows in 3-variant near-duplicate clusters).",
+            "",
+            f"| metric | local[{small}] | local[{big}] | speedup | "
+            "efficiency |",
+            "|---|---|---|---|---|",
+            "| end-to-end rows/s | {:.0f} | {:.0f} | {:.2f}x | {:.3f} |"
+            .format(low["dedup_rows_per_sec"], high["dedup_rows_per_sec"],
+                    high["dedup_rows_per_sec"] / low["dedup_rows_per_sec"],
+                    effs["dedup"]),
+            "| pairs stage s | {} | {} | {:.2f}x | |".format(
+                low["pairs_seconds"], high["pairs_seconds"],
+                low["pairs_seconds"] / high["pairs_seconds"]),
+            "| cc stage s | {} | {} | {:.2f}x | |".format(
+                low["cc_seconds"], high["cc_seconds"],
+                low["cc_seconds"] / max(high["cc_seconds"], 1e-9)),
+            "",
+            "Quality of the closed groups (identical at both levels by "
+            "construction): precision {}, recall {}; {:,} pairs found, "
+            "{:,} docs kept of {:,}.".format(
+                high["group_precision"], high["group_recall"],
+                high["pairs_found"], high["keep_docs"], rows),
+        ]
+    else:
+        lines += [
+            "Brute-force top-10 (labeled baseline) vs production LSH "
+            "(4 planes × 16 tables) vs auto-sized IVF over deterministic "
+            "clustered 64-dim embeddings "
+            f"({high['queries']} queries, k={high['k']}).",
+            "",
+            f"| metric | local[{small}] | local[{big}] | speedup | "
+            "efficiency |",
+            "|---|---|---|---|---|",
+            "| LSH rows/s | {:.0f} | {:.0f} | {:.2f}x | {:.3f} |".format(
+                low["lsh_rows_per_sec"], high["lsh_rows_per_sec"],
+                high["lsh_rows_per_sec"] / low["lsh_rows_per_sec"],
+                effs["lsh"]),
+            "| IVF rows/s | {:.0f} | {:.0f} | {:.2f}x | {:.3f} |".format(
+                low["ivf_rows_per_sec"], high["ivf_rows_per_sec"],
+                high["ivf_rows_per_sec"] / low["ivf_rows_per_sec"],
+                effs["ivf"]),
+            "| brute s | {} | {} | {:.2f}x | |".format(
+                low["brute_seconds"], high["brute_seconds"],
+                low["brute_seconds"] / high["brute_seconds"]),
+            "",
+            "Recall@10 vs brute force (identical at both levels): "
+            "LSH {}, IVF {}.".format(
+                high["lsh_recall_at_10"], high["ivf_recall_at_10"]),
+        ]
+    lines.append("")
+    return lines
+
+
+def replace_section(mode: str, new_lines: list[str]) -> None:
+    header = (
+        "# BENCH-DOCOPS — document-ops scaling at two parallelism "
+        "levels\n\n"
+        "Same spark-submit --py-files protocol as BENCH-SCALING.md "
+        "(identical workload and input at local[N] vs local[4N], "
+        "best-of-N submits, per-metric minimum).\n\n"
+    )
+    existing = ""
+    if os.path.exists(REPORT):
+        with open(REPORT) as fp:
+            existing = fp.read()
+    # keep the other mode's section if present
+    kept = ""
+    for other in ("dedup", "ann"):
+        if other == mode:
+            continue
+        match = re.search(
+            rf"(^## {other} — .*?)(?=^## |\Z)", existing,
+            re.M | re.S,
+        )
+        if match:
+            kept = match.group(1)
+    with open(REPORT, "w") as fp:
+        fp.write(header + "\n".join(new_lines) + "\n" + kept)
+
+
+def main() -> None:
+    mode = sys.argv[1]
+    rows = int(sys.argv[2])
+    small = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    factor = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    repeats = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    big = small * factor
+
+    build_zip()
+    low = run_level(small, mode, rows, repeats)
+    high = run_level(big, mode, rows, repeats)
+
+    if mode == "dedup":
+        effs = {"dedup": round(
+            (high["dedup_rows_per_sec"] / low["dedup_rows_per_sec"])
+            / factor, 3)}
+    else:
+        effs = {
+            "lsh": round((high["lsh_rows_per_sec"]
+                          / low["lsh_rows_per_sec"]) / factor, 3),
+            "ivf": round((high["ivf_rows_per_sec"]
+                          / low["ivf_rows_per_sec"]) / factor, 3),
+        }
+
+    replace_section(
+        mode,
+        section_lines(mode, rows, small, big, repeats, low, high, effs),
+    )
+    print(json.dumps({"mode": mode, "rows": rows,
+                      "levels": [low, high], "efficiency": effs}))
+
+
+if __name__ == "__main__":
+    main()
