@@ -372,6 +372,32 @@ def fixed_integer_centroids(
     return cents
 
 
+def fixed_two_level_quantizer(
+    c1: int, branch: int, dim: int, seed: int = 42
+) -> "TwoLevelQuantizer":
+    """A data-independent :class:`TwoLevelQuantizer` with sha256-derived
+    integer centroids (coarse seeded at ``seed``, fine at
+    ``seed + 1000003``) — the oracle-checkable twin of
+    :func:`two_level_centroids`, exactly as :func:`fixed_integer_centroids`
+    is the twin of :func:`kmeans_centroids`.
+
+    Fed *quantized-integer* vectors (``floor(x·1e6 + 0.5)`` stored as
+    float64), every dot inside :meth:`TwoLevelQuantizer.assign_np` is a
+    sum of exact integers bounded by ``dim · 128 · ~1e6 ≈ 8.2e9 ≪ 2^53``,
+    so the float64 BLAS/einsum sums are EXACT regardless of summation
+    order and a SQL engine computing the same integer dots agrees
+    bit-for-bit (first-max tie-break on both sides)."""
+    coarse = np.array(
+        fixed_integer_centroids(c1, dim, seed), dtype=np.float64
+    )
+    fine = np.array(
+        fixed_integer_centroids(c1 * branch, dim, seed + 1000003),
+        dtype=np.float64,
+    ).reshape(c1, branch, dim)
+    valid = np.ones((c1, branch), dtype=bool)
+    return TwoLevelQuantizer(coarse, fine, valid)
+
+
 def ivf_cell_fixed(
     vectors: DataFrame,
     num_centroids: int = 8,

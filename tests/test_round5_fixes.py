@@ -336,3 +336,41 @@ class TestNearDupExact:
             for r in S.embedding_near_duplicates_exact(emb).collect()
         }
         assert got == expected and len(expected) > 0
+
+
+class TestFixedTwoLevelQuantizer:
+    """The sha-derived fixed two-level quantizer that backs the
+    `emb_ivf_two_level_cells` oracle: integer-exact dots through the
+    real assign_np path."""
+
+    def test_assign_matches_brute_force(self, emb):
+        q = S.fixed_two_level_quantizer(4, 4, dim=64, seed=43)
+        rows = emb.limit(200).collect()
+        raw = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        qmat = np.floor(raw * 1_000_000 + 0.5)
+        got = q.assign_np(qmat)
+        # independent reference: flat argmax over coarse then fine
+        l1 = np.argmax(qmat @ q.coarse.T, axis=1)
+        want = np.empty(len(qmat), dtype=np.int64)
+        for i in range(len(qmat)):
+            sub = q.fine[l1[i]] @ qmat[i]
+            want[i] = l1[i] * q.branch + np.argmax(sub)
+        assert np.array_equal(got, want)
+
+    def test_dots_are_exact_integers(self, emb):
+        q = S.fixed_two_level_quantizer(4, 4, dim=64, seed=43)
+        rows = emb.limit(50).collect()
+        raw = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        qmat = np.floor(raw * 1_000_000 + 0.5)
+        dots = qmat @ q.coarse.T
+        assert np.all(dots == np.round(dots))
+        assert np.abs(dots).max() < 2.0**53
+
+    def test_determinism_and_shape(self):
+        a = S.fixed_two_level_quantizer(4, 4, dim=64, seed=43)
+        b = S.fixed_two_level_quantizer(4, 4, dim=64, seed=43)
+        assert np.array_equal(a.coarse, b.coarse)
+        assert np.array_equal(a.fine, b.fine)
+        assert a.valid.all() and a.num_cells == 16
+        c = S.fixed_two_level_quantizer(4, 4, dim=64, seed=44)
+        assert not np.array_equal(a.coarse, c.coarse)
