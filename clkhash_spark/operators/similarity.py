@@ -643,7 +643,15 @@ def kmeans_centroids(
 
 
 def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
-    """Arrow-batched argmax/top-``nprobe`` over the centroid matrix."""
+    """Arrow-batched argmax/top-``nprobe`` over the centroid matrix.
+
+    Marked ``asNondeterministic`` (though the math is deterministic) as
+    a Catalyst barrier: the result becomes the cell-join key, and the
+    inner join's inferred ``IsNotNull(key)`` otherwise gets pushed
+    below the projection and DUPLICATES the Arrow UDF — two full
+    assignment passes over the corpus instead of one (observed as a
+    second ArrowEvalPython node in the physical plan).
+    """
     cent = centroids.astype(np.float64)
 
     if nprobe == 1:
@@ -655,7 +663,7 @@ def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
             mat = np.array(list(vecs), dtype=np.float64)
             return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
 
-        return assign
+        return assign.asNondeterministic()
 
     from pyspark.sql.types import ArrayType
 
@@ -668,7 +676,7 @@ def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
         order = np.argsort(-dots, axis=1)[:, :nprobe].astype(np.int32)
         return pd.Series(list(order))
 
-    return probe
+    return probe.asNondeterministic()
 
 
 def ivf_assign(
@@ -787,16 +795,22 @@ class TwoLevelQuantizer:
         """[n, dim] → per-row list of up to ``nprobe`` global cell ids,
         best-first. Probes ``min(c1, nprobe)`` coarse cells, ranks all
         their sub-cells jointly (so a strong second coarse cell can
-        out-rank a weak sub-cell of the first)."""
+        out-rank a weak sub-cell of the first).
+
+        Both sorts are STABLE, so ties are deterministic and
+        SQL-expressible: coarse ties break to the lower cell id, joint
+        ties to (coarse rank, branch) — reproducible on any engine."""
         c1 = len(self.coarse)
         cp = min(c1, max(1, nprobe))
         coarse_dots = mat @ self.coarse.T                   # [n, c1]
-        top_l1 = np.argsort(-coarse_dots, axis=1)[:, :cp]   # [n, cp]
+        top_l1 = np.argsort(
+            -coarse_dots, axis=1, kind="stable"
+        )[:, :cp]                                           # [n, cp]
         blocks = self.fine[top_l1]                          # [n,cp,b,dim]
         dots = np.einsum("nd,ncbd->ncb", mat, blocks)
         dots[~self.valid[top_l1]] = -np.inf
         flat = dots.reshape(len(mat), -1)                   # [n, cp*b]
-        order = np.argsort(-flat, axis=1)[:, :nprobe]
+        order = np.argsort(-flat, axis=1, kind="stable")[:, :nprobe]
         out = []
         for i in range(len(mat)):
             idx = order[i][flat[i, order[i]] > -np.inf]
@@ -874,7 +888,12 @@ def two_level_centroids(
 def _two_level_udfs(quantizer: TwoLevelQuantizer, nprobe: int):
     """Arrow-batched assignment / probe UDFs closing over the fitted
     quantizer (broadcast to workers inside the serialized closure —
-    c1·branch·dim float64, bounded by the fit caps)."""
+    c1·branch·dim float64, bounded by the fit caps).
+
+    ``asNondeterministic`` for the same reason as
+    :func:`_nearest_centroids_udf`: without the barrier the cell join's
+    inferred IsNotNull duplicates the assignment UDF into a second
+    full Arrow pass over the corpus."""
     if nprobe == 1:
 
         @F.pandas_udf(LongType())
@@ -884,7 +903,7 @@ def _two_level_udfs(quantizer: TwoLevelQuantizer, nprobe: int):
             mat = np.array(list(vecs), dtype=np.float64)
             return pd.Series(quantizer.assign_np(mat))
 
-        return assign
+        return assign.asNondeterministic()
 
     from pyspark.sql.types import ArrayType
 
@@ -895,7 +914,7 @@ def _two_level_udfs(quantizer: TwoLevelQuantizer, nprobe: int):
         mat = np.array(list(vecs), dtype=np.float64)
         return pd.Series(quantizer.probe_np(mat, nprobe))
 
-    return probe
+    return probe.asNondeterministic()
 
 
 def ivf_assign_two_level(
@@ -904,12 +923,31 @@ def ivf_assign_two_level(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Attach each vector's two-level IVF cell id (int64)."""
+    """Attach each vector's two-level IVF cell id (int64). All input
+    columns ride along, so callers can score on a different column
+    than the one that drives the cell geometry."""
     assign = _two_level_udfs(quantizer, nprobe=1)
     return vectors.select(
-        F.col(key_col), F.col(vec_col),
-        assign(F.col(vec_col)).alias("centroid_id"),
+        "*", assign(F.col(vec_col)).alias("centroid_id")
     )
+
+
+def ivf_probe_two_level(
+    queries: DataFrame,
+    quantizer: TwoLevelQuantizer,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode each query into its ≤ ``nprobe`` best two-level cells
+    (one skinny row per probed cell, input columns riding along) — the
+    query side of :func:`ivf_topk_two_level`, exposed so callers can
+    compose assignment and probing themselves."""
+    probe = _two_level_udfs(quantizer, nprobe=nprobe)
+    probe_col = (
+        probe(F.col(vec_col)) if nprobe == 1
+        else F.explode(probe(F.col(vec_col)))
+    )
+    return queries.select("*", probe_col.alias("centroid_id"))
 
 
 def ivf_topk_two_level(
@@ -926,16 +964,14 @@ def ivf_topk_two_level(
     :func:`ivf_topk` (corpus assigned once → reusable/partitionable;
     queries explode to skinny (cell, query) rows and broadcast into the
     cell join; quantized-int scoring, window top-k)."""
-    assigned = ivf_assign_two_level(vectors, quantizer, key_col, vec_col)
-    probe = _two_level_udfs(quantizer, nprobe=nprobe)
-    probe_col = (
-        probe(F.col(vec_col)) if nprobe == 1
-        else F.explode(probe(F.col(vec_col)))
+    assigned = ivf_assign_two_level(
+        vectors.select(key_col, vec_col), quantizer, key_col, vec_col
     )
-    query_cells = queries.select(
-        F.col(query_key_col),
-        F.col(vec_col).alias("_qvec"),
-        probe_col.alias("centroid_id"),
+    query_cells = ivf_probe_two_level(
+        queries.select(
+            F.col(query_key_col), F.col(vec_col).alias("_qvec")
+        ),
+        quantizer, nprobe=nprobe, vec_col="_qvec",
     )
     joined = assigned.join(
         F.broadcast(query_cells), on="centroid_id"

@@ -151,6 +151,10 @@ class TestPlanEvidence:
 
         import re
 
+        # other test modules may have cached embeddings on the shared
+        # session; a cache hit swaps the parquet scans for
+        # InMemoryTableScans and breaks the scan-count property below
+        spark.catalog.clearCache()
         plan = plan_of(q_emb_ivf_topk(spark, SF))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
@@ -171,3 +175,47 @@ class TestPlanEvidence:
         # the detail list, so count detail headers only
         scans = re.findall(r"\(\d+\) Scan parquet", plan)
         assert len(scans) == 2, scans
+
+
+class TestIvfSingleAssignPass:
+    """The cell-assignment Arrow UDF must appear exactly once per input
+    side in the physical plan. Before the asNondeterministic barrier,
+    the inner cell-join's inferred IsNotNull(centroid_id) was pushed
+    below the assigning projection and DUPLICATED the UDF — a second
+    full Arrow assignment pass over the corpus (4 ArrowEvalPython
+    nodes instead of 3: corpus assign, query probe, scoring dot)."""
+
+    def _arrow_nodes(self, plan: str) -> int:
+        import re
+
+        return len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+
+    def test_flat_kmeans_path(self, spark):
+        import numpy as np
+
+        from pyspark.sql import functions as F
+        from clkhash_spark.operators import similarity as S
+
+        emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cents = np.array(
+            S.fixed_integer_centroids(8, 64, 42), dtype=np.float64
+        )
+        plan = plan_of(S.ivf_topk(emb, queries, cents, k=10, nprobe=2))
+        assert self._arrow_nodes(plan) == 3, plan
+
+    def test_two_level_path(self, spark):
+        from pyspark.sql import functions as F
+        from clkhash_spark.operators import similarity as S
+
+        emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        q = S.fixed_two_level_quantizer(4, 4, dim=64, seed=43)
+        plan = plan_of(
+            S.ivf_topk_two_level(emb, queries, q, k=10, nprobe=2)
+        )
+        assert self._arrow_nodes(plan) == 3, plan

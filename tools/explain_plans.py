@@ -162,6 +162,24 @@ def main() -> None:
                                 nprobe=2)))
     )
 
+    # 10b. two-level IVF top-k — same plan shape as the flat path but
+    # assignment is one Arrow UDF projection against the broadcast
+    # quantizer closure (O(c1 + branch) dots/vector, the >65k-cell
+    # growth path); probes still explode to skinny broadcast rows.
+    from clkhash_spark.operators.similarity import (
+        fixed_two_level_quantizer,
+        ivf_topk_two_level,
+    )
+
+    sections.append(
+        ("ivf_topk_two_level (Arrow assign projection, broadcast "
+         "probe explode, co-cell scoring)",
+         plan_of(ivf_topk_two_level(
+             emb, queries, fixed_two_level_quantizer(4, 4, dim=64,
+                                                     seed=43),
+             k=10, nprobe=2)))
+    )
+
     # 11. integer-exact near-dup — norms computed once per vector
     # BEFORE the bucket self-join; the threshold test is decimal(38)
     # arithmetic, no float comparison anywhere.
