@@ -45,6 +45,10 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "ivf_topk_auto",
+    "IvfIndex",
+    "ivf_fit_auto",
+    "ivf_probe_two_level",
+    "fixed_two_level_quantizer",
     "ivf_cell_fixed_with_vec",
     "ivf_probe_fixed",
     "ivf_topk_fixed",
@@ -990,6 +994,62 @@ def ivf_topk_two_level(
     )
 
 
+class IvfIndex:
+    """A fitted IVF index: either a flat centroid matrix or a
+    :class:`TwoLevelQuantizer`, plus the auto-sizing metadata. Fit ONCE
+    per corpus (the index is the expensive, driver-side step — a real
+    deployment builds it once and serves many query batches), then pass
+    to :func:`ivf_topk_auto` / reuse across calls."""
+
+    def __init__(self, kind: str, centroids=None, quantizer=None):
+        self.kind = kind                    # 'flat' | 'two_level'
+        self.centroids = centroids          # [cells, dim] when flat
+        self.quantizer = quantizer          # TwoLevelQuantizer otherwise
+
+    @property
+    def num_cells(self) -> int:
+        if self.kind == "flat":
+            return len(self.centroids)
+        return self.quantizer.num_cells
+
+
+def ivf_fit_auto(
+    vectors: DataFrame,
+    num_cells: Optional[int] = None,
+    flat_cell_cap: int = 65_536,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Fit the IVF index, picking the quantizer for the corpus size.
+
+    ``num_cells=None`` targets ~8 vectors/cell (``clamp(n/8, 16, 2^22)``,
+    the recall-per-scan sizing COVERAGE.md measures). While the target
+    fits ``flat_cell_cap`` (the O(cells)-dots-per-vector assignment
+    budget of the flat path) this is :func:`kmeans_centroids`; beyond
+    it the two-level (coarse × branch) quantizer takes over with
+    O(c1 + branch) assignment.
+
+    Separated from the query path on purpose: the fit draws a bounded
+    sample to the driver and runs Lloyd there (minutes of numpy at the
+    65k-cell cap), a FIXED index-build cost that does not scale with
+    executor count — benchmark and amortize it separately from query
+    throughput, which does scale.
+    """
+    if num_cells is None:
+        n = vectors.count()
+        num_cells = max(16, min(n // 8, 1 << 22))
+    if num_cells <= flat_cell_cap:
+        cents = kmeans_centroids(
+            vectors, num_centroids=num_cells,
+            key_col=key_col, vec_col=vec_col,
+        )
+        return IvfIndex("flat", centroids=cents)
+    quantizer = two_level_centroids(
+        vectors, num_cells=num_cells, key_col=key_col, vec_col=vec_col
+    )
+    return IvfIndex("two_level", quantizer=quantizer)
+
+
 def ivf_topk_auto(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1000,17 +1060,15 @@ def ivf_topk_auto(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     query_key_col: str = "query_id",
+    index: Optional[IvfIndex] = None,
 ) -> DataFrame:
-    """One-call IVF top-k that picks the quantizer for the corpus size.
-
-    ``num_cells=None`` targets ~8 vectors/cell (``clamp(n/8, 16, 2^22)``,
-    the recall-per-scan sizing COVERAGE.md measures). While the target
-    fits ``flat_cell_cap`` (the O(cells)-dots-per-vector assignment
-    budget of the flat path) this is exactly :func:`kmeans_centroids` +
-    :func:`ivf_topk`; beyond it the two-level (coarse × branch)
-    quantizer takes over with O(c1 + branch) assignment — same plan
-    shape either way (corpus assigned once, queries explode to skinny
+    """IVF top-k over an auto-sized index — same plan shape on either
+    quantizer (corpus assigned once, queries explode to skinny
     broadcast probe rows, quantized-int scoring).
+
+    ``index=None`` fits one first via :func:`ivf_fit_auto` (one-call
+    convenience); pass a pre-fitted index to reuse it across query
+    batches and to time/amortize the fixed fit cost separately.
 
     ``nprobe=None`` defaults to the quarter-probe of the flat sweep
     (``ceil(cells/4)``, the 0.862-recall@0.25-scan point) on the flat
@@ -1018,29 +1076,27 @@ def ivf_topk_auto(
     (``clamp(cells//64, 8, 64)`` cells) because a quarter of millions
     of cells is no longer a sensible explode width — tune per corpus.
     """
-    if num_cells is None:
-        n = vectors.count()
-        num_cells = max(16, min(n // 8, 1 << 22))
-    if num_cells <= flat_cell_cap:
-        cents = kmeans_centroids(
-            vectors, num_centroids=num_cells,
+    if index is None:
+        index = ivf_fit_auto(
+            vectors, num_cells=num_cells, flat_cell_cap=flat_cell_cap,
             key_col=key_col, vec_col=vec_col,
         )
-        eff_probe = nprobe if nprobe is not None else -(-len(cents) // 4)
+    if index.kind == "flat":
+        eff_probe = (
+            nprobe if nprobe is not None
+            else -(-len(index.centroids) // 4)
+        )
         return ivf_topk(
-            vectors, queries, cents, k=k, nprobe=eff_probe,
+            vectors, queries, index.centroids, k=k, nprobe=eff_probe,
             key_col=key_col, vec_col=vec_col,
             query_key_col=query_key_col,
         )
-    quantizer = two_level_centroids(
-        vectors, num_cells=num_cells, key_col=key_col, vec_col=vec_col
-    )
     eff_probe = (
         nprobe if nprobe is not None
-        else max(8, min(64, quantizer.num_cells // 64))
+        else max(8, min(64, index.quantizer.num_cells // 64))
     )
     return ivf_topk_two_level(
-        vectors, queries, quantizer, k=k, nprobe=eff_probe,
+        vectors, queries, index.quantizer, k=k, nprobe=eff_probe,
         key_col=key_col, vec_col=vec_col, query_key_col=query_key_col,
     )
 

@@ -374,3 +374,37 @@ class TestFixedTwoLevelQuantizer:
         assert a.valid.all() and a.num_cells == 16
         c = S.fixed_two_level_quantizer(4, 4, dim=64, seed=44)
         assert not np.array_equal(a.coarse, c.coarse)
+
+
+class TestIvfFitAuto:
+    """ivf_fit_auto: the build-once index API (fit separated from the
+    query path so the fixed driver-side Lloyd cost is amortizable and
+    benchmarkable apart from query throughput)."""
+
+    def test_prefit_index_matches_one_call(self, spark, emb):
+        from pyspark.sql import functions as F
+
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        idx = S.ivf_fit_auto(emb, num_cells=8)
+        assert idx.kind == "flat" and idx.num_cells == 8
+        got = sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in S.ivf_topk_auto(
+                emb, queries, k=5, nprobe=8, index=idx
+            ).collect()
+        )
+        want = sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in S.ivf_topk(
+                emb, queries, idx.centroids, k=5, nprobe=8
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_fit_dispatches_two_level_past_cap(self, emb):
+        idx = S.ivf_fit_auto(emb, num_cells=40, flat_cell_cap=16)
+        assert idx.kind == "two_level"
+        assert idx.num_cells > 0
+        assert idx.quantizer is not None

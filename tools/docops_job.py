@@ -191,6 +191,7 @@ def _topk_sets(df, id_col="query_id", n_col="vec_id"):
 def run_ann(spark: SparkSession, rows: int) -> dict:
     from clkhash_spark.operators.similarity import (
         brute_force_topk,
+        ivf_fit_auto,
         ivf_topk_auto,
         lsh_topk,
     )
@@ -214,10 +215,16 @@ def run_ann(spark: SparkSession, rows: int) -> dict:
     lsh_sets = _topk_sets(lsh)
     t_lsh = time.time() - t1
 
+    # the IVF index fit is a FIXED driver-side cost (bounded-sample
+    # Lloyd) that does not scale with executor count — time it apart
+    # from the query path, which does.
     t2 = time.time()
-    ivf = ivf_topk_auto(emb, queries, k=ANN_K)
+    index = ivf_fit_auto(emb)
+    t_fit = time.time() - t2
+    t3 = time.time()
+    ivf = ivf_topk_auto(emb, queries, k=ANN_K, index=index)
     ivf_sets = _topk_sets(ivf)
-    t_ivf = time.time() - t2
+    t_ivf = time.time() - t3
 
     def recall(got: dict) -> float:
         hits = sum(
@@ -232,6 +239,8 @@ def run_ann(spark: SparkSession, rows: int) -> dict:
         "k": ANN_K,
         "brute_seconds": round(t_brute, 2),
         "lsh_seconds": round(t_lsh, 2),
+        "ivf_fit_seconds": round(t_fit, 2),
+        "ivf_cells": index.num_cells,
         "ivf_seconds": round(t_ivf, 2),
         "lsh_rows_per_sec": round(rows / t_lsh, 1),
         "ivf_rows_per_sec": round(rows / t_ivf, 1),
