@@ -189,14 +189,38 @@ def minhash_signatures(
             flat.extend(base_hash(s) for s in shingles)
             offsets.append(len(flat))
         base = np.asarray(flat, dtype=np.int64)
-        # [M, H] affine values; a*h + b < 2^62 by construction.
-        affine = (base[:, None] * a_vec[None, :] + b_vec[None, :]) % (
-            _MINHASH_PRIME
-        )
         starts = np.asarray(offsets[:-1], dtype=np.int64)
-        mins = np.minimum.reduceat(affine, starts, axis=0)
+        # [M, H] affine values, a*h + b < 2^62 by construction — but
+        # materialized in DOC-ALIGNED SLABS: the full [M, 64] int64
+        # matrix for a 10k-doc Arrow batch is ~1.5 GB of temporaries
+        # per task, which multiplied by 32 task slots is an OOM, not a
+        # working set. ~2^20 shingle rows per slab caps it at ~512 MB
+        # of transient (product + mod) per task.
+        slab_rows = 1 << 20
+        mins = np.empty((len(starts), len(a_vec)), dtype=np.int64)
+        lo = 0
+        while lo < len(starts):
+            hi = lo + 1
+            while (hi < len(starts)
+                   and offsets[hi + 1] - offsets[lo] <= slab_rows):
+                hi += 1
+            seg = base[offsets[lo]:offsets[hi]]
+            affine = (seg[:, None] * a_vec[None, :] + b_vec[None, :]) % (
+                _MINHASH_PRIME
+            )
+            seg_starts = starts[lo:hi] - offsets[lo]
+            mins[lo:hi] = np.minimum.reduceat(affine, seg_starts, axis=0)
+            lo = hi
         return pd.Series(list(mins))
 
+    # The UDF is the CPU-heavy stage and is a narrow map, so it
+    # inherits the input partitioning — a small/single-file parquet
+    # input would pin the whole signature pass to one core. Widen only
+    # when the input has fewer partitions than the scheduler has slots
+    # (inert at scale, where the scan arrives in many splits).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     return df.select(
         F.col(key_col), signature_udf(F.col(text_col)).alias("signature")
     )
@@ -373,6 +397,11 @@ def simhash(
         out = (votes > 0) @ weights
         return pd.Series(out.astype(np.int64))
 
+    # same CPU-parallelism guard as minhash_signatures: a small or
+    # single-file input otherwise pins the Arrow UDF to one core
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     return df.select(
         F.col(key_col), simhash_udf(F.col(text_col)).alias("simhash")
     )
