@@ -137,6 +137,12 @@ def extract_image_features(
                 }
             )
 
-    return df.select(key_col, media_col).mapInPandas(
-        decode_partition, out_schema
-    )
+    # decode is the expensive per-row stage in a real deployment
+    # (image codecs): widen a small/single-file input to the scheduler
+    # slot count so the mapInPandas stage isn't pinned to one core
+    # (inert at scale, where scans arrive in many splits).
+    narrow = df.select(key_col, media_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < parallelism:
+        narrow = narrow.repartition(parallelism)
+    return narrow.mapInPandas(decode_partition, out_schema)
