@@ -1072,9 +1072,12 @@ def ivf_topk_auto(
 
     ``nprobe=None`` defaults to the quarter-probe of the flat sweep
     (``ceil(cells/4)``, the 0.862-recall@0.25-scan point) on the flat
-    path; on the two-level path the probe list is kept bounded
-    (``clamp(cells//64, 8, 64)`` cells) because a quarter of millions
-    of cells is no longer a sensible explode width — tune per corpus.
+    path; on the two-level path it defaults to ``clamp(cells//128, 16,
+    1024)`` — the measured knee of the recall/scan curve at 600k
+    vectors / 66k cells (`tools/two_level_recall.py`: recall@10 0.454
+    at nprobe=64 / 0.10% scan, 0.932 at 128 / 0.21%, 1.0 at 512 /
+    0.79%; cells//128 lands at 516 there). A quarter of millions of
+    cells is never a sensible explode width — tune per corpus.
     """
     if index is None:
         index = ivf_fit_auto(
@@ -1093,7 +1096,7 @@ def ivf_topk_auto(
         )
     eff_probe = (
         nprobe if nprobe is not None
-        else max(8, min(64, index.quantizer.num_cells // 64))
+        else max(16, min(1024, index.quantizer.num_cells // 128))
     )
     return ivf_topk_two_level(
         vectors, queries, index.quantizer, k=k, nprobe=eff_probe,
