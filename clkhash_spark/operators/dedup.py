@@ -289,10 +289,18 @@ def minhash_near_duplicates(
     Candidates from banding, verified by the fraction of agreeing
     signature positions (an unbiased Jaccard estimator).
     """
+    # Persist the signatures: the plan consumes them THREE times (the
+    # banding self-join plus the sig_a / sig_b verification joins), and
+    # the sig_a/sig_b joins hash by different keys so no ReusedExchange
+    # can deduplicate them — without the persist the signature UDF (the
+    # CPU-heavy stage) is evaluated 3x per run (8 ArrowEvalPython nodes
+    # in the round-5 plan, 1 after; plans/r06/doc_minhash_pairs_*.txt).
+    # MEMORY_AND_DISK spills instead of OOMing on a 100 TB corpus; at
+    # that scale a real job would checkpoint signatures to a table.
     signatures = minhash_signatures(
         df, num_hashes=num_hashes, shingle_size=shingle_size,
         text_col=text_col, key_col=key_col,
-    )
+    ).persist()
     candidates = minhash_candidates(
         signatures, num_bands=num_bands, key_col=key_col
     )

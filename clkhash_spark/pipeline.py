@@ -571,12 +571,24 @@ class _StageRunner:
             self.metrics[f"{name}_seconds"] = entry["seconds"]
             self.metrics[f"{name}_rows_per_sec"] = entry["rows_per_sec"]
         else:
-            # No table store: persist + materialize so downstream stages
-            # never recompute this one (lazy evaluation would otherwise
-            # re-run encode once per consumer), and so AQE sees real
-            # sizes (e.g. broadcasting the CLK payload into the pair
-            # join).
-            df = df.persist()
+            # No table store: materialize AND cut lineage at the stage
+            # boundary. A lazy localCheckpoint + count does both in ONE
+            # job (the count action triggers the checkpoint): rows land
+            # in the block manager exactly like persist, and the
+            # logical plan collapses to a LogicalRDD. The truncation is
+            # the point — each downstream stage's plan otherwise embeds
+            # MULTIPLE copies of the whole upstream tree (the pair
+            # self-join doubles it, the cluster stage's key unions
+            # triple it), and Catalyst analysis + cache lookup over
+            # those trees measured ~10 s of driver-only gaps per 100k-
+            # row pipeline run (event-log evidence, OPTIMIZATION_r06.md
+            # — e.g. a 5.2 s zero-task gap before the first clusters
+            # job). Physical partitioning survives (LogicalRDD carries
+            # outputPartitioning), so the blocks stage's single-
+            # exchange contract still holds. On a real cluster, prefer
+            # reliable snapshots via checkpoint_dir (the StageStore
+            # path, which truncates the same way through parquet).
+            df = df.localCheckpoint(eager=False)
             rows = df.count()
             elapsed = time.time() - start
             self.metrics[f"{name}_rows"] = rows
@@ -663,6 +675,11 @@ def run_linkage(
         clks_k = clks.withColumn(kid_col, F.xxhash64(F.col(config.key_col)))
         ids = clks_k.select(kid_col, config.key_col)
 
+    # Transient caches a stage build needs for its own multi-pass work
+    # (e.g. the cap's size aggregate); released once the stage output is
+    # materialized so only ONE copy of the banded rows stays resident.
+    _stage_scratch: list = []
+
     def build_blocks() -> DataFrame:
         blocks = block_keys(
             clks_k,
@@ -687,6 +704,7 @@ def run_linkage(
         )
         if config.max_block_size:
             blocks = blocks.persist()
+            _stage_scratch.append(blocks)
             blocks, accounting = cap_block_size(
                 blocks,
                 config.max_block_size,
@@ -707,6 +725,9 @@ def run_linkage(
         "blocks", _fingerprint(config, "blocks", input_fp), build_blocks,
         parents=("clks",),
     )
+    for scratch in _stage_scratch:
+        scratch.unpersist()
+    _stage_scratch.clear()
     if metrics.get("blocks_resumed"):
         # Parquet read-back loses the blocks stage's
         # hashpartitioning(block_key) — restore it so a resumed run
@@ -900,6 +921,8 @@ def run_linkage_two_party(
             key_cols=(kid_col,),
         )
 
+    _stage_scratch: list = []
+
     def build_blocks() -> DataFrame:
         blocks = bands(clks_ka).unionByName(bands(clks_kb))
         # Same single-exchange discipline as run_linkage: partition the
@@ -912,6 +935,7 @@ def run_linkage_two_party(
         )
         if config.max_block_size:
             blocks = blocks.persist()
+            _stage_scratch.append(blocks)
             blocks, accounting = cap_block_size(
                 blocks,
                 config.max_block_size,
@@ -930,6 +954,9 @@ def run_linkage_two_party(
         "blocks", _fingerprint(config, "blocks", fp_ab), build_blocks,
         parents=("clks_a", "clks_b"),
     )
+    for scratch in _stage_scratch:
+        scratch.unpersist()
+    _stage_scratch.clear()
     if metrics.get("blocks_resumed"):
         # Restore hashpartitioning(block_key) lost in the parquet
         # read-back (see run_linkage).
