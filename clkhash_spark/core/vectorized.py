@@ -38,6 +38,32 @@ from .schema import Schema
 # Bounded per-worker token caches (analog of the reference's lru_cache).
 _TOKEN_CACHE_LIMIT = 1 << 16
 
+# Per-worker-PROCESS hasher registry: a reused Python worker
+# (spark.python.worker.reuse, default on) runs many tasks, but the
+# BatchEncoder — and with it every token-digest cache — was rebuilt per
+# task, so the second encode stage over the same keys re-hashed every
+# token it had already seen. Keying the hasher by its full config
+# (including the derived key bytes, so a different secret can never hit
+# a stale entry) keeps the caches worker-lifetime. PID-guarded: a
+# forked worker starts clean. This only memoizes token→digest within
+# one Spark application's workers — nothing persists across runs.
+_WORKER_HASHERS: Dict[tuple, object] = {}
+_WORKER_PID: Optional[int] = None
+
+
+def _worker_hasher(key: tuple, build):
+    global _WORKER_PID
+    import os
+
+    pid = os.getpid()
+    if _WORKER_PID != pid:
+        _WORKER_HASHERS.clear()
+        _WORKER_PID = pid
+    hasher = _WORKER_HASHERS.get(key)
+    if hasher is None:
+        hasher = _WORKER_HASHERS[key] = build()
+    return hasher
+
 # Byte → number of set bits.
 _POPCOUNT_LUT = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1
@@ -66,7 +92,8 @@ def _pack_indices(indices: np.ndarray, rows: np.ndarray, num_rows: int,
 class DoubleHashTokenHasher:
     """Caches ``token_bytes → (sha1 % l, md5 % l)`` for one field config."""
 
-    __slots__ = ("key_sha1", "key_md5", "l", "non_singular", "_cache")
+    __slots__ = ("key_sha1", "key_md5", "l", "non_singular", "_cache",
+                 "_tmpl_sha1", "_tmpl_md5")
 
     def __init__(
         self, key_sha1: bytes, key_md5: bytes, l: int, non_singular: bool
@@ -76,6 +103,13 @@ class DoubleHashTokenHasher:
         self.l = l
         self.non_singular = non_singular
         self._cache: Dict[bytes, Tuple[int, int]] = {}
+        # Keyed HMAC templates, cloned per token: hmac.new() re-derives
+        # the padded key block on every call; copy() of a keyed-but-
+        # empty template skips that (measured 0.21 s → 0.13 s per 34k
+        # token pairs — the hashing loop is ~40% of encode CPU).
+        # Byte-identical digests (same key, same message).
+        self._tmpl_sha1 = hmac.new(key_sha1, digestmod=hashlib.sha1)
+        self._tmpl_md5 = hmac.new(key_md5, digestmod=hashlib.md5)
 
     def hash_tokens(
         self, token_bytes_list: Sequence[bytes]
@@ -86,19 +120,24 @@ class DoubleHashTokenHasher:
         md5_mods = np.empty(n, dtype=np.int64)
         cache = self._cache
         l = self.l
-        key_sha1, key_md5 = self.key_sha1, self.key_md5
+        tmpl_sha1, tmpl_md5 = self._tmpl_sha1, self._tmpl_md5
         if len(cache) > _TOKEN_CACHE_LIMIT:
             cache.clear()
         for i, tb in enumerate(token_bytes_list):
             hit = cache.get(tb)
             if hit is None:
-                s = int.from_bytes(hmac.new(key_sha1, tb, hashlib.sha1).digest(), "big") % l
-                m = int.from_bytes(hmac.new(key_md5, tb, hashlib.md5).digest(), "big") % l
+                h = tmpl_sha1.copy()
+                h.update(tb)
+                s = int.from_bytes(h.digest(), "big") % l
+                h = tmpl_md5.copy()
+                h.update(tb)
+                m = int.from_bytes(h.digest(), "big") % l
                 if self.non_singular:
                     suffix = 0
                     while m == 0:
-                        d = hmac.new(key_md5, tb + chr(suffix).encode(), hashlib.md5).digest()
-                        m = int.from_bytes(d, "big") % l
+                        h = tmpl_md5.copy()
+                        h.update(tb + chr(suffix).encode())
+                        m = int.from_bytes(h.digest(), "big") % l
                         suffix += 1
                 hit = (s, m)
                 cache[tb] = hit
@@ -157,11 +196,19 @@ class FieldEncoder:
         if hash_l % 8 != 0:
             raise ValueError(f"hash length {hash_l} must be a multiple of 8")
         if hs.hash_type == "doubleHash":
-            self.double_hasher = DoubleHashTokenHasher(
-                keys[0], keys[1], hash_l, bool(hs.prevent_singularity)
+            non_singular = bool(hs.prevent_singularity)
+            self.double_hasher = _worker_hasher(
+                ("double", bytes(keys[0]), bytes(keys[1]), hash_l,
+                 non_singular),
+                lambda: DoubleHashTokenHasher(
+                    keys[0], keys[1], hash_l, non_singular
+                ),
             )
         elif hs.hash_type == "blakeHash":
-            self.blake_hasher = BlakeTokenHasher(keys[0], hash_l)
+            self.blake_hasher = _worker_hasher(
+                ("blake", bytes(keys[0]), hash_l),
+                lambda: BlakeTokenHasher(keys[0], hash_l),
+            )
         else:
             raise ValueError(f"unsupported hash type {hs.hash_type!r}")
 

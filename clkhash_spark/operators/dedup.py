@@ -55,7 +55,13 @@ def exact_duplicates(
     """Exact-duplicate groups: (digest, group size, canonical doc id).
 
     One hash-shuffle on the 32-char digest; map-side partial aggregation
-    applies automatically.
+    applies automatically. Deliberately NOT widened on narrow inputs
+    (unlike the UDF/regex-heavy operators): the partial aggregation
+    already collapses rows to distinct digests before the shuffle, and
+    an up-front round-robin exchange of the full text costs more than
+    the single-core normalize+md5 it parallelizes (measured 0.24 s
+    direct vs 0.72 s widened at sf0.1; at 100 TB the scan arrives in
+    many splits and the question is moot).
     """
     return (
         df.select(
@@ -191,11 +197,12 @@ def minhash_signatures(
         base = np.asarray(flat, dtype=np.int64)
         starts = np.asarray(offsets[:-1], dtype=np.int64)
         # [M, H] affine values, a*h + b < 2^62 by construction — but
-        # materialized in DOC-ALIGNED SLABS: the full [M, 64] int64
-        # matrix for a 10k-doc Arrow batch is ~1.5 GB of temporaries
-        # per task, which multiplied by 32 task slots is an OOM, not a
-        # working set. ~2^20 shingle rows per slab caps it at ~512 MB
-        # of transient (product + mod) per task.
+        # materialized in DOC-ALIGNED SLABS and computed IN PLACE: one
+        # [slab, 64] int64 buffer (product, += b, mod — no second
+        # temporary), so a 2^20-row slab holds ~512 MB of transient per
+        # task; 32 task slots peak ~16 GB, inside the sandbox headroom.
+        # (The round-5 expression form held product AND mod output
+        # simultaneously — ~1 GB/task, ~32 GB across slots — ADVICE r5.)
         slab_rows = 1 << 20
         mins = np.empty((len(starts), len(a_vec)), dtype=np.int64)
         lo = 0
@@ -205,9 +212,9 @@ def minhash_signatures(
                    and offsets[hi + 1] - offsets[lo] <= slab_rows):
                 hi += 1
             seg = base[offsets[lo]:offsets[hi]]
-            affine = (seg[:, None] * a_vec[None, :] + b_vec[None, :]) % (
-                _MINHASH_PRIME
-            )
+            affine = seg[:, None] * a_vec[None, :]
+            affine += b_vec[None, :]
+            np.mod(affine, _MINHASH_PRIME, out=affine)
             seg_starts = starts[lo:hi] - offsets[lo]
             mins[lo:hi] = np.minimum.reduceat(affine, seg_starts, axis=0)
             lo = hi
@@ -215,13 +222,13 @@ def minhash_signatures(
 
     # The UDF is the CPU-heavy stage and is a narrow map, so it
     # inherits the input partitioning — a small/single-file parquet
-    # input would pin the whole signature pass to one core. Widen only
-    # when the input has fewer partitions than the scheduler has slots
-    # (inert at scale, where the scan arrives in many splits).
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
-    return df.select(
+    # input would pin the whole signature pass to one core. Project to
+    # (key, text) FIRST so a widening shuffle never moves unused
+    # columns; see widen_if_narrow for the firing rule.
+    from ._util import widen_if_narrow
+
+    narrow = widen_if_narrow(df.select(key_col, text_col))
+    return narrow.select(
         F.col(key_col), signature_udf(F.col(text_col)).alias("signature")
     )
 
@@ -407,10 +414,10 @@ def simhash(
 
     # same CPU-parallelism guard as minhash_signatures: a small or
     # single-file input otherwise pins the Arrow UDF to one core
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
-    return df.select(
+    from ._util import widen_if_narrow
+
+    narrow = widen_if_narrow(df.select(key_col, text_col))
+    return narrow.select(
         F.col(key_col), simhash_udf(F.col(text_col)).alias("simhash")
     )
 
@@ -474,6 +481,9 @@ def shingle_jaccard(
     key_col: str = "doc_id",
 ) -> DataFrame:
     """Exact word-shingle Jaccard for candidate pairs (verification)."""
+    from ._util import widen_if_narrow
+
+    df = widen_if_narrow(df.select(key_col, text_col))
     shingled = df.select(
         F.col(key_col),
         F.array_distinct(word_shingles(F.col(text_col), shingle_size)).alias(

@@ -95,6 +95,15 @@ def encode_clks(
         *[F.col(c).cast("string").alias(c) if c not in key_cols else F.col(c)
           for c in wanted]
     )
+    # Encode is the CPU-heavy stage and a narrow map, so it inherits the
+    # input partitioning — a single-file parquet input (one row group =
+    # one split regardless of maxPartitionBytes) would pin the whole
+    # encode to one core. The guard runs AFTER the projection, so only
+    # key+feature columns shuffle (same rule as minhash_signatures /
+    # simhash; see widen_if_narrow).
+    from ._util import widen_if_narrow
+
+    projected = widen_if_narrow(projected)
 
     key_fields = [projected.schema[c] for c in key_cols]
     out_schema = StructType(

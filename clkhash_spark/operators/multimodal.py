@@ -141,8 +141,7 @@ def extract_image_features(
     # (image codecs): widen a small/single-file input to the scheduler
     # slot count so the mapInPandas stage isn't pinned to one core
     # (inert at scale, where scans arrive in many splits).
-    narrow = df.select(key_col, media_col)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < parallelism:
-        narrow = narrow.repartition(parallelism)
+    from ._util import widen_if_narrow
+
+    narrow = widen_if_narrow(df.select(key_col, media_col))
     return narrow.mapInPandas(decode_partition, out_schema)

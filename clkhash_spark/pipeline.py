@@ -588,7 +588,8 @@ class _StageRunner:
             # exchange contract still holds. On a real cluster, prefer
             # reliable snapshots via checkpoint_dir (the StageStore
             # path, which truncates the same way through parquet).
-            df = df.localCheckpoint(eager=False)
+            if not getattr(df, "_clkhash_prematerialized", False):
+                df = df.localCheckpoint(eager=False)
             rows = df.count()
             elapsed = time.time() - start
             self.metrics[f"{name}_rows"] = rows
@@ -675,11 +676,6 @@ def run_linkage(
         clks_k = clks.withColumn(kid_col, F.xxhash64(F.col(config.key_col)))
         ids = clks_k.select(kid_col, config.key_col)
 
-    # Transient caches a stage build needs for its own multi-pass work
-    # (e.g. the cap's size aggregate); released once the stage output is
-    # materialized so only ONE copy of the banded rows stays resident.
-    _stage_scratch: list = []
-
     def build_blocks() -> DataFrame:
         blocks = block_keys(
             clks_k,
@@ -690,22 +686,27 @@ def run_linkage(
             salt=config.lsh_salt,
             key_cols=(kid_col,),
         )
-        # ONE explicit shuffle by block_key, persisted: the cap's size
-        # aggregate, the histogram, and BOTH sides of the pair self-join
-        # all require hashpartitioning(block_key) — deriving them from
-        # this exchange makes every one of them exchange-free. Counters
-        # at 600k rows: the banded rows (37M skinny rows, ~320 MB)
-        # previously re-shuffled 3x (size groupBy + two join inputs =
-        # ~75M of the pairs stage's 85M shuffled records); now once.
+        # ONE explicit shuffle by block_key, materialized ONCE: the
+        # cap's size aggregate, the histogram, and BOTH sides of the
+        # pair self-join all require hashpartitioning(block_key) —
+        # deriving them from this exchange makes every one of them
+        # exchange-free. Counters at 600k rows: the banded rows (37M
+        # skinny rows, ~320 MB) previously re-shuffled 3x (size groupBy
+        # + two join inputs = ~75M of the pairs stage's 85M shuffled
+        # records); now once. The lazy localCheckpoint materializes on
+        # the cap's size aggregate (its first action), so when no block
+        # exceeds the cap — the common case for healthy band widths —
+        # the stage output IS this checkpoint and the runner skips a
+        # second full materialization pass + copy of the banded rows
+        # (the round-5 shape paid both).
         blocks = blocks.repartition(
             config.pair_partitions
             or _banded_partitions(spark, n_rows * config.num_bands),
             "block_key",
-        )
+        ).localCheckpoint(eager=False)
+        capped = blocks
         if config.max_block_size:
-            blocks = blocks.persist()
-            _stage_scratch.append(blocks)
-            blocks, accounting = cap_block_size(
+            capped, accounting = cap_block_size(
                 blocks,
                 config.max_block_size,
                 mode=config.block_cap_mode,
@@ -717,17 +718,17 @@ def run_linkage(
         if config.block_histogram:
             metrics["block_size_histogram"] = {
                 int(r["log2_size"]): int(r["num_blocks"])
-                for r in block_size_histogram(blocks).collect()
+                for r in block_size_histogram(capped).collect()
             }
-        return blocks
+        if capped is blocks:
+            # Unchanged by the cap: already checkpoint-materialized.
+            capped._clkhash_prematerialized = True
+        return capped
 
     blocks = runner.run(
         "blocks", _fingerprint(config, "blocks", input_fp), build_blocks,
         parents=("clks",),
     )
-    for scratch in _stage_scratch:
-        scratch.unpersist()
-    _stage_scratch.clear()
     if metrics.get("blocks_resumed"):
         # Parquet read-back loses the blocks stage's
         # hashpartitioning(block_key) — restore it so a resumed run
@@ -921,22 +922,23 @@ def run_linkage_two_party(
             key_cols=(kid_col,),
         )
 
-    _stage_scratch: list = []
-
     def build_blocks() -> DataFrame:
         blocks = bands(clks_ka).unionByName(bands(clks_kb))
-        # Same single-exchange discipline as run_linkage: partition the
-        # unioned bands by block_key once; the cap aggregate and both
-        # sign-filtered sides of the cross-party join reuse it.
+        # Same single-exchange, single-materialization discipline as
+        # run_linkage: partition the unioned bands by block_key once
+        # (lazy localCheckpoint — the cap's size aggregate triggers it);
+        # the cap aggregate and both sign-filtered sides of the
+        # cross-party join reuse the checkpointed exchange, and the
+        # runner skips a second materialization when the cap changed
+        # nothing.
         blocks = blocks.repartition(
             config.pair_partitions
             or _banded_partitions(spark, n_rows * config.num_bands),
             "block_key",
-        )
+        ).localCheckpoint(eager=False)
+        capped = blocks
         if config.max_block_size:
-            blocks = blocks.persist()
-            _stage_scratch.append(blocks)
-            blocks, accounting = cap_block_size(
+            capped, accounting = cap_block_size(
                 blocks,
                 config.max_block_size,
                 mode=config.block_cap_mode,
@@ -946,17 +948,16 @@ def run_linkage_two_party(
         if config.block_histogram:
             metrics["block_size_histogram"] = {
                 int(r["log2_size"]): int(r["num_blocks"])
-                for r in block_size_histogram(blocks).collect()
+                for r in block_size_histogram(capped).collect()
             }
-        return blocks
+        if capped is blocks:
+            capped._clkhash_prematerialized = True
+        return capped
 
     blocks = runner.run(
         "blocks", _fingerprint(config, "blocks", fp_ab), build_blocks,
         parents=("clks_a", "clks_b"),
     )
-    for scratch in _stage_scratch:
-        scratch.unpersist()
-    _stage_scratch.clear()
     if metrics.get("blocks_resumed"):
         # Restore hashpartitioning(block_key) lost in the parquet
         # read-back (see run_linkage).

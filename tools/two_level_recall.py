@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else None or 0
+    nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     from pyspark.sql import functions as F
 
@@ -58,7 +58,11 @@ def main() -> None:
         f"expected the two-level dispatch at n={rows}, got {index.kind}"
     )
 
-    eff_probe = nprobe or max(8, min(64, index.num_cells // 64))
+    # Default to the SAME clamp ivf_topk_auto ships as its production
+    # default (similarity.py) so a no-argument run measures the
+    # configuration the engine actually uses (ADVICE r5: the old
+    # cells//64 formula measured a superseded config).
+    eff_probe = nprobe or max(16, min(1024, index.num_cells // 128))
 
     # scan fraction: probed-cell occupancy / corpus size
     assigned = ivf_assign_two_level(
