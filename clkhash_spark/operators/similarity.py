@@ -458,6 +458,70 @@ def _chunked_argmax(pts: np.ndarray, centroids: np.ndarray,
     return out
 
 
+class _single_thread_blas:
+    """Pin OpenBLAS to one thread inside the block (restores on exit).
+
+    PySpark workers run with OMP_NUM_THREADS=1 while the driver's BLAS
+    may thread its gemms, and a threaded gemm can round differently —
+    Lloyd then amplifies an argmax tie-flip into visibly different
+    centroids (observed: 3/196 sub-cells off by ~3e-3 at 100k rows).
+    Wrapping BOTH sub-fit paths in this makes the executor-side fit
+    bit-identical to the driver loop. No-op when the OpenBLAS control
+    symbol isn't loadable (non-OpenBLAS numpy builds).
+    """
+
+    _lib = None
+    _probed = False
+
+    def __enter__(self):
+        cls = _single_thread_blas
+        if not cls._probed:
+            cls._probed = True
+            try:
+                import ctypes
+                import glob
+                import os
+
+                libs = glob.glob(os.path.join(
+                    os.path.dirname(np.__file__), "..", "numpy.libs",
+                    "*openblas*",
+                )) or glob.glob(os.path.join(
+                    os.path.dirname(np.__file__), "_core", "..", "..",
+                    "scipy_openblas64", "lib", "*.so",
+                ))
+                for cand in libs:
+                    lib = ctypes.CDLL(cand)
+                    for sym in ("openblas_set_num_threads64_",
+                                "openblas_set_num_threads"):
+                        if hasattr(lib, sym):
+                            cls._lib = (
+                                getattr(lib, sym),
+                                getattr(
+                                    lib,
+                                    sym.replace("set", "get"),
+                                    None,
+                                ),
+                            )
+                            break
+                    if cls._lib:
+                        break
+            except Exception:  # pragma: no cover - defensive
+                cls._lib = None
+        self._prev = None
+        if cls._lib:
+            set_fn, get_fn = cls._lib
+            if get_fn is not None:
+                self._prev = int(get_fn())
+            set_fn(1)
+        return self
+
+    def __exit__(self, *exc):
+        cls = _single_thread_blas
+        if cls._lib and self._prev:
+            cls._lib[0](self._prev)
+        return False
+
+
 def _lloyd(pts: np.ndarray, num_centroids: int, iters: int) -> np.ndarray:
     """Vectorized Lloyd iterations with angular (unit-norm) centroids.
 
@@ -491,14 +555,30 @@ def _hash_ordered_sample(
     """The ``sample_size`` rows with the smallest ``xxhash64(key)`` — a
     seeded, order-independent pseudo-random draw (no RNG state,
     reproducible on any cluster/partitioning). At 100 TB this is one
-    pushed-down top-k over the hash — the corpus is never collected."""
-    sample = (
+    pushed-down top-k over the hash — the corpus is never collected.
+
+    Arrow transfer, not ``collect()``: py4j Row materialization of a
+    300k x 64-float sample measured 8.7 s — the LARGEST phase of the
+    600k-vector index fit; ``toArrow`` + a flat-buffer reshape cuts it
+    to under a second (same rows, same order)."""
+    tbl = (
         vectors.select(vec_col)
         .orderBy(F.xxhash64(F.col(key_col)))
         .limit(sample_size)
-        .collect()
+        .toArrow()
     )
-    return np.array([r[vec_col] for r in sample], dtype=np.float64)
+    col = tbl.column(0).combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    offsets = col.offsets.to_numpy()
+    widths = np.diff(offsets)
+    values = np.asarray(col.values, dtype=np.float64)
+    if (widths == widths[0]).all():
+        # fixed-dim fast path: one contiguous reshape over the Arrow
+        # values buffer (no per-row Python)
+        return values[offsets[0]:offsets[-1]].reshape(n, int(widths[0]))
+    return np.array(col.to_pylist(), dtype=np.float64)
 
 
 def ivf_cell_fixed_with_vec(
@@ -646,8 +726,11 @@ def kmeans_centroids(
     return _lloyd(pts, num_centroids, iters)
 
 
-def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
-    """Arrow-batched argmax/top-``nprobe`` over the centroid matrix.
+def _nearest_centroids_udf(centroids, nprobe: int):
+    """Arrow-batched argmax/top-``nprobe`` over the centroid matrix
+    (a float64 ``[cells, dim]`` array, or an ``sc.broadcast`` of one —
+    the broadcast form keeps the 32 MB-at-cap matrix out of every UDF
+    closure pickle, see :meth:`IvfIndex.broadcast`).
 
     Marked ``asNondeterministic`` (though the math is deterministic) as
     a Catalyst barrier: the result becomes the cell-join key, and the
@@ -656,7 +739,12 @@ def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
     assignment passes over the corpus instead of one (observed as a
     second ArrowEvalPython node in the physical plan).
     """
-    cent = centroids.astype(np.float64)
+    from pyspark.broadcast import Broadcast
+
+    cent = (
+        centroids if isinstance(centroids, Broadcast)
+        else centroids.astype(np.float64)
+    )
 
     if nprobe == 1:
 
@@ -664,8 +752,9 @@ def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
         def assign(vecs: pd.Series) -> pd.Series:
             if len(vecs) == 0:
                 return pd.Series(np.empty(0, dtype=np.int32))
+            c = np.asarray(_unwrap_broadcast(cent), dtype=np.float64)
             mat = np.array(list(vecs), dtype=np.float64)
-            return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+            return pd.Series(np.argmax(mat @ c.T, axis=1).astype(np.int32))
 
         return assign.asNondeterministic()
 
@@ -675,8 +764,9 @@ def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
     def probe(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
+        c = np.asarray(_unwrap_broadcast(cent), dtype=np.float64)
         mat = np.array(list(vecs), dtype=np.float64)
-        dots = mat @ cent.T  # [n, c]
+        dots = mat @ c.T  # [n, c]
         order = np.argsort(-dots, axis=1)[:, :nprobe].astype(np.int32)
         return pd.Series(list(order))
 
@@ -834,6 +924,7 @@ def two_level_centroids(
     vec_col: str = "embedding",
     points_per_cell: int = 4,
     max_sample: int = 1_000_000,
+    distributed_fit: Optional[bool] = None,
 ) -> TwoLevelQuantizer:
     """Fit a :class:`TwoLevelQuantizer` on a hash-ordered sample.
 
@@ -847,6 +938,17 @@ def two_level_centroids(
     rows (64-dim float64: 512 MB driver RAM at the 1M default) with a
     ``RuntimeWarning`` when the cap engages — past that the honest fit
     needs fewer points per cell, never silently.
+
+    The per-coarse-cell sub-fits are independent, so for large samples
+    they run EXECUTOR-SIDE (``groupBy(cell).applyInPandas`` over the
+    sample shipped via Arrow) instead of a driver-side Python loop over
+    thousands of cells — the coarse fit is one BLAS-parallel gemm, but
+    the sub-fit loop was single-threaded small gemms and dominated the
+    round-5 fit wall (97-116 s at 66k cells / 600k vectors).
+    ``distributed_fit=None`` auto-enables it when the sample exceeds
+    50k rows; members are ordered by their sample position inside each
+    group, so the fitted centroids are BIT-IDENTICAL to the driver
+    loop (asserted by tests/test_round6_opt.py).
     """
     if num_cells is None:
         n = vectors.count()
@@ -874,25 +976,130 @@ def two_level_centroids(
     bounds = np.searchsorted(l1[order], np.arange(c1 + 1))
     fine = np.zeros((c1, branch, dim), dtype=np.float64)
     valid = np.zeros((c1, branch), dtype=bool)
-    for c in range(c1):
-        members = pts[order[bounds[c]:bounds[c + 1]]]
-        if len(members) == 0:
-            # keep the cell addressable: its single sub-cell is the
-            # coarse centroid itself.
-            fine[c, 0] = coarse[c]
-            valid[c, 0] = True
-            continue
-        k2 = max(1, min(branch, len(members) // points_per_cell or 1))
-        sub = _lloyd(members, k2, iters)
-        fine[c, : len(sub)] = sub
-        valid[c, : len(sub)] = True
+    if distributed_fit is None:
+        # Scale-dependent default, measured not assumed: at 600k rows /
+        # local[8] the driver loop (single-thread BLAS) runs in 3.6 s
+        # while the distributed form pays ~9 s shipping the sample via
+        # Arrow + shuffle — shipping beats compute only when executor
+        # count >> driver throughput, i.e. on a real cluster. (This
+        # falsifies the round-5 premise that the sub-fit LOOP was the
+        # 97-116 s fit wall: the phase breakdown is sample collect
+        # 8.7 s [now Arrow, <1 s] + coarse Lloyd 9.4 s + assign 0.9 s +
+        # sub-fits 3.6 s — see OPTIMIZATION_r06.md.)
+        master = vectors.sparkSession.sparkContext.master or ""
+        distributed_fit = not master.startswith("local")
+    if distributed_fit:
+        filled = _fit_subcells_distributed(
+            vectors.sparkSession, pts, l1, branch, iters,
+            points_per_cell, fine, valid,
+        )
+    else:
+        filled = np.zeros(c1, dtype=bool)
+        with _single_thread_blas():
+            for c in range(c1):
+                members = pts[order[bounds[c]:bounds[c + 1]]]
+                if len(members) == 0:
+                    continue
+                k2 = max(
+                    1, min(branch, len(members) // points_per_cell or 1)
+                )
+                sub = _lloyd(members, k2, iters)
+                fine[c, : len(sub)] = sub
+                valid[c, : len(sub)] = True
+                filled[c] = True
+    for c in np.nonzero(~filled)[0]:
+        # keep empty cells addressable: the single sub-cell is the
+        # coarse centroid itself.
+        fine[c, 0] = coarse[c]
+        valid[c, 0] = True
     return TwoLevelQuantizer(coarse, fine, valid)
 
 
-def _two_level_udfs(quantizer: TwoLevelQuantizer, nprobe: int):
-    """Arrow-batched assignment / probe UDFs closing over the fitted
-    quantizer (broadcast to workers inside the serialized closure —
-    c1·branch·dim float64, bounded by the fit caps).
+def _fit_subcells_distributed(
+    spark,
+    pts: np.ndarray,
+    l1: np.ndarray,
+    branch: int,
+    iters: int,
+    points_per_cell: int,
+    fine: np.ndarray,
+    valid: np.ndarray,
+) -> np.ndarray:
+    """Run the per-coarse-cell Lloyd sub-fits as one
+    ``applyInPandas`` over (cell, sample-position, vector) rows.
+
+    Members are re-ordered by sample position inside each group before
+    fitting — ``_lloyd``'s init is the first ``k2`` members, so order
+    is part of the result — making the output bit-identical to the
+    driver loop. Fills ``fine``/``valid`` in place; returns the bool
+    mask of coarse cells that received a fit.
+    """
+    import pandas as pd
+
+    dim = pts.shape[1]
+    sample_pdf = pd.DataFrame(
+        {
+            "cell": l1.astype(np.int64),
+            "pos": np.arange(len(pts), dtype=np.int64),
+            "vec": list(pts),
+        }
+    )
+    sample_df = spark.createDataFrame(sample_pdf)
+
+    def fit_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        members = np.array(list(pdf["vec"]), dtype=np.float64)
+        k2 = max(1, min(branch, len(members) // points_per_cell or 1))
+        # single-thread BLAS on BOTH paths = bit-identical centroids
+        # (PySpark workers usually already run OMP_NUM_THREADS=1;
+        # enforce it so a differently-configured cluster agrees too)
+        with _single_thread_blas():
+            sub = _lloyd(members, k2, iters)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "k2": [len(sub)],
+                "flat": [sub.ravel().tolist()],
+            }
+        )
+
+    fitted = sample_df.groupBy("cell").applyInPandas(
+        fit_cell, "cell long, k2 int, flat array<double>"
+    )
+    # Arrow transfer back (the fine array is the payload — at the 2^22-
+    # cell auto cap it is ~2 GB, which py4j row collect would choke on).
+    tbl = fitted.toArrow()
+    cells = tbl.column("cell").to_numpy()
+    k2s = tbl.column("k2").to_numpy()
+    flats = tbl.column("flat").to_pylist()
+    filled = np.zeros(len(fine), dtype=bool)
+    for c, k2, flat in zip(cells, k2s, flats):
+        sub = np.asarray(flat, dtype=np.float64).reshape(int(k2), dim)
+        fine[c, : int(k2)] = sub
+        valid[c, : int(k2)] = True
+        filled[c] = True
+    return filled
+
+
+def _unwrap_broadcast(value):
+    """Resolve a possibly-``sc.broadcast``-wrapped payload INSIDE a UDF
+    body (so only the tiny broadcast handle rides in the pickled
+    closure, and the torrent-distributed blocks ship the arrays once
+    per executor instead of once per UDF construction)."""
+    from pyspark.broadcast import Broadcast
+
+    return value.value if isinstance(value, Broadcast) else value
+
+
+def _two_level_udfs(quantizer, nprobe: int):
+    """Arrow-batched assignment / probe UDFs over the fitted quantizer.
+
+    ``quantizer`` may be a :class:`TwoLevelQuantizer` or an
+    ``sc.broadcast`` of one (see :meth:`IvfIndex.broadcast`): with the
+    broadcast form the UDF closure pickles only the handle — the
+    c1·branch·dim float64 ``fine`` array (multi-GB at the 2^22-cell
+    auto cap) is no longer re-serialized into every UDF construction,
+    and the driver keeps ONE copy instead of one per query batch.
 
     ``asNondeterministic`` for the same reason as
     :func:`_nearest_centroids_udf`: without the barrier the cell join's
@@ -904,8 +1111,9 @@ def _two_level_udfs(quantizer: TwoLevelQuantizer, nprobe: int):
         def assign(vecs: pd.Series) -> pd.Series:
             if len(vecs) == 0:
                 return pd.Series(np.empty(0, dtype=np.int64))
+            q = _unwrap_broadcast(quantizer)
             mat = np.array(list(vecs), dtype=np.float64)
-            return pd.Series(quantizer.assign_np(mat))
+            return pd.Series(q.assign_np(mat))
 
         return assign.asNondeterministic()
 
@@ -915,8 +1123,9 @@ def _two_level_udfs(quantizer: TwoLevelQuantizer, nprobe: int):
     def probe(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
+        q = _unwrap_broadcast(quantizer)
         mat = np.array(list(vecs), dtype=np.float64)
-        return pd.Series(quantizer.probe_np(mat, nprobe))
+        return pd.Series(q.probe_np(mat, nprobe))
 
     return probe.asNondeterministic()
 
@@ -1005,12 +1214,47 @@ class IvfIndex:
         self.kind = kind                    # 'flat' | 'two_level'
         self.centroids = centroids          # [cells, dim] when flat
         self.quantizer = quantizer          # TwoLevelQuantizer otherwise
+        self._bc = None                     # explicit sc.broadcast handle
 
     @property
     def num_cells(self) -> int:
         if self.kind == "flat":
             return len(self.centroids)
         return self.quantizer.num_cells
+
+    def broadcast(self, spark) -> "IvfIndex":
+        """Explicitly ``sc.broadcast`` the fitted payload ONCE.
+
+        Without this, the quantizer rides in every assignment/probe UDF
+        closure: re-pickled per UDF construction (per query batch) and
+        re-held by the driver each time — at the 2^22-cell auto cap the
+        ``fine`` array is ~2 GB serialized. After ``broadcast()`` the
+        UDF closures carry only the broadcast handle; workers fetch the
+        blocks once per executor. Call :meth:`unpersist` when the index
+        is retired (documented lifecycle — broadcasts otherwise live
+        until the context dies). Idempotent.
+        """
+        if self._bc is None:
+            payload = (
+                self.centroids if self.kind == "flat" else self.quantizer
+            )
+            self._bc = spark.sparkContext.broadcast(payload)
+        return self
+
+    @property
+    def payload(self):
+        """What the UDF builders should close over: the broadcast
+        handle when :meth:`broadcast` has been called, else the raw
+        centroids/quantizer."""
+        if self._bc is not None:
+            return self._bc
+        return self.centroids if self.kind == "flat" else self.quantizer
+
+    def unpersist(self) -> None:
+        """Release the executor-side broadcast blocks (idempotent)."""
+        if self._bc is not None:
+            self._bc.unpersist()
+            self._bc = None
 
 
 def ivf_fit_auto(
@@ -1090,7 +1334,7 @@ def ivf_topk_auto(
             else -(-len(index.centroids) // 4)
         )
         return ivf_topk(
-            vectors, queries, index.centroids, k=k, nprobe=eff_probe,
+            vectors, queries, index.payload, k=k, nprobe=eff_probe,
             key_col=key_col, vec_col=vec_col,
             query_key_col=query_key_col,
         )
@@ -1099,7 +1343,7 @@ def ivf_topk_auto(
         else max(16, min(1024, index.quantizer.num_cells // 128))
     )
     return ivf_topk_two_level(
-        vectors, queries, index.quantizer, k=k, nprobe=eff_probe,
+        vectors, queries, index.payload, k=k, nprobe=eff_probe,
         key_col=key_col, vec_col=vec_col, query_key_col=query_key_col,
     )
 
