@@ -484,12 +484,15 @@ def shingle_jaccard(
     from ._util import widen_if_narrow
 
     df = widen_if_narrow(df.select(key_col, text_col))
+    # Persisted: the doc_a and doc_b payload joins hash by different
+    # keys, so without it the shingle transform (the expensive
+    # array-heavy stage) is computed once per side.
     shingled = df.select(
         F.col(key_col),
         F.array_distinct(word_shingles(F.col(text_col), shingle_size)).alias(
             "shingles"
         ),
-    )
+    ).persist()
     a = shingled.select(
         F.col(key_col).alias("doc_a"), F.col("shingles").alias("sh_a")
     )

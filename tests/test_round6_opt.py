@@ -39,6 +39,13 @@ class TestPlanShapes:
 
         import re
 
+        # Earlier tests in the shared session may have registered cache
+        # entries for the same signature plan; re-matching against them
+        # nests InMemoryRelations and the formatted printout then shows
+        # extra (cached, not live) ArrowEvalPython ids. Clear to assert
+        # on the first-construction plan. (No other module's fixtures
+        # are alive here — module scopes are torn down per file.)
+        spark.catalog.clearCache()
         plan = plan_of(q_doc_minhash_pairs(spark, SF))
         # one DISTINCT ArrowEvalPython node: the signature UDF feeds a
         # persisted InMemoryRelation consumed by the band join and both

@@ -82,7 +82,10 @@ def main() -> None:
     dump("emb_topk", q_emb_topk(spark, SF_DIR))
     dump("local_supplier_revenue", q_local_supplier_revenue(spark, SF_DIR))
 
-    if not only or {"clk_pipeline_pairs", "clk_pipeline_clusters"} & only:
+    if not only or {
+        "clk_pipeline_pairs", "clk_pipeline_clusters",
+        "clk_pipeline_pairs_stage",
+    } & only:
         fixture = synthetic_webpages(spark, 20000, seed=42).persist()
         fixture.count()
         config = LinkageConfig(schema=webpages_schema(),
@@ -90,6 +93,28 @@ def main() -> None:
         result = run_linkage(spark, fixture.select("url", "text"), config)
         dump("clk_pipeline_pairs", result.pairs)
         dump("clk_pipeline_clusters", result.clusters)
+        # The committed pairs/clusters outputs are materialized stage
+        # snapshots (LogicalRDD scans after the round-6 lineage
+        # truncation), so ALSO dump the pairs-stage INTERNAL plan —
+        # rebuilt over the materialized blocks/clks exactly as
+        # build_pairs composes it — to evidence the single-exchange
+        # self-join shape over the checkpointed banded rows.
+        from clkhash_spark.operators.scoring import (
+            candidate_pairs,
+            score_candidates,
+        )
+
+        clks_k = result.clks.withColumn(
+            "_kid", F.xxhash64(F.col("url"))
+        )
+        stage = score_candidates(
+            candidate_pairs(
+                result.blocks, key_col="_kid", repartition=None,
+                min_band_matches=config.min_band_matches,
+            ),
+            clks_k, threshold=config.threshold, key_col="_kid",
+        )
+        dump("clk_pipeline_pairs_stage", stage)
 
     if not only or {"clk_two_party_pairs", "clk_two_party_clusters"} & only:
         pa, pb, _ = synthetic_webpage_parties(
