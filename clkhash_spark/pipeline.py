@@ -967,6 +967,8 @@ def run_linkage_two_party(
             "block_key",
         ).persist()
 
+    _stage_scratch: list = []
+
     def build_pairs() -> DataFrame:
         pairs = candidate_pairs(
             blocks.where(F.col(kid_col) >= 0),
@@ -1002,7 +1004,10 @@ def run_linkage_two_party(
         )
         if not one_to_one:
             return scored
+        # Scratch cache for the mutual-best windows (two consumers);
+        # released once the stage output is materialized.
         scored = scored.persist()
+        _stage_scratch.append(scored)
         scored.count()
         return one_to_one_matching(scored)
 
@@ -1012,6 +1017,9 @@ def run_linkage_two_party(
     matched = runner.run(
         "pairs", pairs_fp, build_pairs, parents=("clks_a", "clks_b", "blocks")
     )
+    for scratch in _stage_scratch:
+        scratch.unpersist()
+    _stage_scratch.clear()
 
     def build_clusters() -> DataFrame:
         components = connected_components(
