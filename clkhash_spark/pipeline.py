@@ -693,17 +693,24 @@ def run_linkage(
         # exchange-free. Counters at 600k rows: the banded rows (37M
         # skinny rows, ~320 MB) previously re-shuffled 3x (size groupBy
         # + two join inputs = ~75M of the pairs stage's 85M shuffled
-        # records); now once. The lazy localCheckpoint materializes on
-        # the cap's size aggregate (its first action), so when no block
-        # exceeds the cap — the common case for healthy band widths —
-        # the stage output IS this checkpoint and the runner skips a
-        # second full materialization pass + copy of the banded rows
-        # (the round-5 shape paid both).
+        # records); now once. persist, NOT localCheckpoint, for THIS
+        # stage: under AQE a checkpoint's LogicalRDD loses the plan's
+        # outputPartitioning (the adaptive plan's final partitioning is
+        # unknown pre-execution), which silently re-inserted the very
+        # exchanges this stage exists to eliminate — measured at 4M
+        # two-party rows: a 285.6M-row size-aggregate exchange plus
+        # 2×192M-row pair-join-side exchanges (event log, round-6 4M
+        # ladder). Cached plans keep their partitioning (AQE leaves
+        # cached-plan output partitioning unchanged by default), and
+        # the logical tree above the checkpointed clks stage is tiny,
+        # so the lineage-truncation motivation doesn't apply here. The
+        # cap's size aggregate (its first action) materializes the
+        # cache; the runner then skips a second materialization.
         blocks = blocks.repartition(
             config.pair_partitions
             or _banded_partitions(spark, n_rows * config.num_bands),
             "block_key",
-        ).localCheckpoint(eager=False)
+        ).persist()
         capped = blocks
         if config.max_block_size:
             capped, accounting = cap_block_size(
@@ -925,17 +932,19 @@ def run_linkage_two_party(
     def build_blocks() -> DataFrame:
         blocks = bands(clks_ka).unionByName(bands(clks_kb))
         # Same single-exchange, single-materialization discipline as
-        # run_linkage: partition the unioned bands by block_key once
-        # (lazy localCheckpoint — the cap's size aggregate triggers it);
-        # the cap aggregate and both sign-filtered sides of the
-        # cross-party join reuse the checkpointed exchange, and the
+        # run_linkage: partition the unioned bands by block_key once —
+        # persist, NOT localCheckpoint, because an AQE checkpoint loses
+        # outputPartitioning and re-inserts the size-aggregate and
+        # cross-party join-side exchanges (see run_linkage's blocks
+        # stage for the 4M-ladder measurement). The cap aggregate and
+        # both sign-filtered join sides reuse the cached exchange; the
         # runner skips a second materialization when the cap changed
         # nothing.
         blocks = blocks.repartition(
             config.pair_partitions
             or _banded_partitions(spark, n_rows * config.num_bands),
             "block_key",
-        ).localCheckpoint(eager=False)
+        ).persist()
         capped = blocks
         if config.max_block_size:
             capped, accounting = cap_block_size(
