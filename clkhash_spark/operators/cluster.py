@@ -163,6 +163,7 @@ def connected_components(
     reliable: bool = False,
     id_assignment: str = "hash",
     small_graph_edges: int = 500_000,
+    known_edge_bound: Optional[int] = None,
 ) -> DataFrame:
     """Cluster pairs into components; returns ``(key, cluster_id)``.
 
@@ -239,6 +240,32 @@ def connected_components(
             .union(pairs.select(F.col(key_b).alias("key")))
             .distinct()
             .select("key", vertex("key").alias("id"))
+        )
+
+    if (
+        known_edge_bound is not None
+        and 0 <= known_edge_bound <= small_graph_edges
+        and id_assignment != "dense"
+    ):
+        # The caller already knows the pair count (e.g. the pipeline's
+        # pairs-stage row metric), which upper-bounds the deduplicated
+        # edge count — so the driver-gate decision needs NO
+        # materialize-and-checksum job: collect the edges via Arrow
+        # directly (one job instead of two full passes). Results are
+        # identical to the gated path below. (Dense mode still needs
+        # the materialization to pin its per-run id map.)
+        tbl = edges.select("u", "v").toArrow()
+        if tbl.num_rows == 0:
+            return key_ids.select(
+                "key", F.col("id").alias("cluster_id")
+            ).limit(0)
+        labels_pdf = _union_find_labels(
+            tbl.column("u").to_numpy(), tbl.column("v").to_numpy()
+        )
+        all_labels = pairs.sparkSession.createDataFrame(labels_pdf)
+        return (
+            key_ids.join(all_labels, on="id", how="inner")
+            .select("key", F.col("label").alias("cluster_id"))
         )
 
     edges, signature = _materialize_with_checksum(edges, reliable)

@@ -796,6 +796,10 @@ def run_linkage(
         components = connected_components(
             pairs, id_assignment=config.key_id_mode,
             small_graph_edges=config.cluster_driver_gate_edges,
+            # the materialized pairs-stage row count upper-bounds the
+            # edge count, letting the driver-gate path skip its
+            # materialize-and-checksum job (see connected_components)
+            known_edge_bound=metrics.get("pairs_rows"),
         )
         return attach_cluster_ids(
             clks.select(config.key_col), components,
@@ -1034,6 +1038,7 @@ def run_linkage_two_party(
         components = connected_components(
             matched, id_assignment=config.key_id_mode,
             small_graph_edges=config.cluster_driver_gate_edges,
+            known_edge_bound=metrics.get("pairs_rows"),
         )
         all_keys = clks_a.select(config.key_col).union(
             clks_b.select(config.key_col)
